@@ -1,0 +1,75 @@
+"""Global configuration for the TPU-native sparse-BLAS framework.
+
+TPU-first re-design of the reference's compile-time macro config
+(reference: config.h:18-27 — ERROR_CHECK, ERROR_BAR 1e-3, RAND_INIT_SEED 211,
+WARP_SIZE 32, NUM_THREADS_PER_BLK 256).  Instead of preprocessor macros we use
+one frozen dataclass; instead of CUDA launch geometry we carry TPU tile
+geometry (VPU sublane x lane = 8 x 128, MXU 128 x 128).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+# ---------------------------------------------------------------------------
+# TPU hardware geometry (v4/v5 class).  These are layout constants, not knobs.
+# ---------------------------------------------------------------------------
+LANES = 128          # minor-most vector lane count (always 128 on TPU)
+SUBLANES_F32 = 8     # second-minor tile for float32
+MXU_DIM = 128        # systolic array is 128 x 128
+
+
+@dataclasses.dataclass(frozen=True)
+class SBlasConfig:
+    """Runtime configuration.
+
+    Mirrors the knobs of the reference's config.h but as data, overridable
+    per-call and from the environment (SBLAS_* variables), instead of
+    compile-time macros.
+    """
+
+    # Verification tolerance.  The reference checks |x - y| <= 1e-3
+    # elementwise (utility.h:182-193, config.h:21 `ERROR_BAR`).
+    error_bar: float = 1e-3
+
+    # RNG seed for random dense fills (config.h:23 `RAND_INIT_SEED 211`).
+    # We keep the value for provenance; the stream itself is numpy/JAX, not
+    # C `rand()`, so values differ from the reference (documented deviation).
+    rand_seed: int = 211
+
+    # Whether expensive shape/consistency checks run inside host-side code
+    # (analog of config.h:19 `ERROR_CHECK`).
+    error_check: bool = True
+
+    # Default nnz tile for sparse kernels: one VPU register tile worth of
+    # nonzeros (8 sublanes x 128 lanes).
+    nnz_tile: int = SUBLANES_F32 * LANES
+
+    # Default dense tile edge for MXU-bound SpMM paths.
+    dense_tile: int = MXU_DIM
+
+    # ELL fallback guard: if max_row_nnz > ell_blowup_limit * mean_row_nnz the
+    # ELL layout is considered pathological and COO/segment-sum is used.
+    ell_blowup_limit: float = 16.0
+
+    @staticmethod
+    def from_env() -> "SBlasConfig":
+        def _f(name: str, default: float) -> float:
+            return float(os.environ.get(name, default))
+
+        def _i(name: str, default: int) -> int:
+            return int(os.environ.get(name, default))
+
+        return SBlasConfig(
+            error_bar=_f("SBLAS_ERROR_BAR", 1e-3),
+            rand_seed=_i("SBLAS_RAND_SEED", 211),
+            error_check=os.environ.get("SBLAS_ERROR_CHECK", "1") != "0",
+            nnz_tile=_i("SBLAS_NNZ_TILE", SUBLANES_F32 * LANES),
+            dense_tile=_i("SBLAS_DENSE_TILE", MXU_DIM),
+            ell_blowup_limit=_f("SBLAS_ELL_BLOWUP_LIMIT", 16.0),
+        )
+
+
+# The library-wide default; call sites may pass their own.
+DEFAULT = SBlasConfig.from_env()

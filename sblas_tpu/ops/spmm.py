@@ -1,0 +1,102 @@
+"""Single-chip CSR SpMM kernels:  C' = beta*C + alpha*A@B.
+
+TPU-native replacements for the reference's `cusparseSpMM` calls
+(spmm.h:146-149).  B and C are logical (K-minor) jax.Arrays; the reference's
+row/col-major distinction (spmm.h:91-98 rejects row-major B) is a non-issue
+under XLA, which owns physical layout.
+
+Formulations:
+* COO: gather B rows per nnz + sorted `segment_sum` over rows.  The (nnz, K)
+  intermediate is chunked with `lax.scan` when large to bound HBM pressure.
+* ELL: slot-chunked gather + accumulate — scatter-free.
+
+alpha/beta epilogue fused (vs the reference's separate axpby kernel launch,
+kernel.h:27-38 / spmm.h:283).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .plans import CooPlan, EllPlan
+
+# Cap on the materialized gather intermediate, in elements (~256 MB of f32).
+_MAX_GATHER_ELEMS = 64 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("n_chunks",))
+def spmm_coo(plan: CooPlan, B: jax.Array, alpha, beta, C: jax.Array,
+             n_chunks: int = 1) -> jax.Array:
+    m = plan.shape[0]
+    k = B.shape[1]
+    nnz_pad = plan.vals.shape[0]
+    if n_chunks <= 1:
+        contrib = plan.vals[:, None] * jnp.take(B, plan.cols, axis=0)
+        ab = jax.ops.segment_sum(contrib, plan.rows, num_segments=m,
+                                 indices_are_sorted=True)
+    else:
+        chunk = nnz_pad // n_chunks  # nnz_pad is tile-aligned by the plan
+
+        def step(acc, xs):
+            rows_c, cols_c, vals_c = xs
+            contrib = vals_c[:, None] * jnp.take(B, cols_c, axis=0)
+            return acc + jax.ops.segment_sum(
+                contrib, rows_c, num_segments=m, indices_are_sorted=True), None
+
+        xs = (plan.rows.reshape(n_chunks, chunk),
+              plan.cols.reshape(n_chunks, chunk),
+              plan.vals.reshape(n_chunks, chunk))
+        ab, _ = jax.lax.scan(step, jnp.zeros((m, k), plan.vals.dtype), xs)
+    return beta * C + alpha * ab
+
+
+@partial(jax.jit, static_argnames=("slot_chunk",))
+def spmm_ell(plan: EllPlan, B: jax.Array, alpha, beta, C: jax.Array,
+             slot_chunk: int = 8) -> jax.Array:
+    m = plan.shape[0]
+    m_pad, L = plan.cols.shape
+    k = B.shape[1]
+    slot_chunk = min(slot_chunk, L)
+    L_pad = ((L + slot_chunk - 1) // slot_chunk) * slot_chunk
+    cols = jnp.pad(plan.cols, ((0, 0), (0, L_pad - L)))
+    vals = jnp.pad(plan.vals, ((0, 0), (0, L_pad - L)))
+    n_steps = L_pad // slot_chunk
+    # (n_steps, m_pad, slot_chunk) slot-major chunks
+    cols_s = cols.reshape(m_pad, n_steps, slot_chunk).transpose(1, 0, 2)
+    vals_s = vals.reshape(m_pad, n_steps, slot_chunk).transpose(1, 0, 2)
+
+    def step(acc, xs):
+        cols_c, vals_c = xs
+        gathered = jnp.take(B, cols_c.reshape(-1), axis=0)
+        gathered = gathered.reshape(m_pad, slot_chunk, k)
+        return acc + (vals_c[..., None] * gathered).sum(axis=1), None
+
+    ab, _ = jax.lax.scan(step, jnp.zeros((m_pad, k), plan.vals.dtype),
+                         (cols_s, vals_s))
+    return beta * C + alpha * ab[:m]
+
+
+def _auto_chunks(plan: CooPlan, k: int) -> int:
+    total = plan.vals.shape[0] * k
+    n = max(1, (total + _MAX_GATHER_ELEMS - 1) // _MAX_GATHER_ELEMS)
+    # choose a divisor of the tile count for exact reshape
+    tiles = plan.vals.shape[0]
+    while tiles % n:
+        n += 1
+    return n
+
+
+def spmm(plan, B, alpha=1.0, beta=1.0, C=None):
+    """Dispatch on plan type.  `C=None` drops the beta term."""
+    if C is None:
+        C = jnp.zeros((plan.shape[0], B.shape[1]), dtype=plan.vals.dtype)
+        beta = 0.0
+    if isinstance(plan, EllPlan):
+        return spmm_ell(plan, B, alpha, beta, C)
+    if isinstance(plan, CooPlan):
+        return spmm_coo(plan, B, alpha, beta, C,
+                        n_chunks=_auto_chunks(plan, B.shape[1]))
+    raise TypeError(f"unsupported plan type {type(plan).__name__}")

@@ -1,0 +1,42 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference can only exercise its multi-GPU paths on real hardware; we test
+both distribution modes without any TPU by forcing the XLA host platform to
+expose 8 devices (SURVEY.md §4).  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# Double precision on the CPU test mesh: lets us verify at the reference's
+# 1e-3 *absolute* tolerance exactly as its double-precision drivers do.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from sblas_tpu.containers import CsrMatrix  # noqa: E402
+
+REFERENCE_ASH85 = "/root/reference/ash85.mtx"
+
+
+@pytest.fixture(scope="session")
+def ash85() -> CsrMatrix:
+    """The reference's checked-in fixture, read from the read-only mount;
+    falls back to a structure-matched synthetic when absent."""
+    if os.path.exists(REFERENCE_ASH85):
+        return CsrMatrix.from_mtx(REFERENCE_ASH85)
+    from sblas_tpu.io.generate import pattern_symmetric
+    return pattern_symmetric()
+
+
+@pytest.fixture(scope="session")
+def rng() -> np.random.RandomState:
+    return np.random.RandomState(0)
