@@ -27,29 +27,52 @@ from .plans import CooPlan, EllPlan
 _MAX_GATHER_ELEMS = 64 * 1024 * 1024
 
 
+def _match_vma(z, *exemplars):
+    """Promote `z`'s varying-manual-axes type to the union of the
+    exemplars'.  Needed so a lax.scan carry initialized with jnp.zeros
+    typechecks inside shard_map, where the scanned operands are
+    device-varying but fresh zeros are replicated."""
+    vma = set()
+    for e in exemplars:
+        vma |= set(getattr(jax.typeof(e), "vma", ()) or ())
+    vma -= set(getattr(jax.typeof(z), "vma", ()) or ())
+    if vma:
+        z = jax.lax.pcast(z, tuple(sorted(vma)), to="varying")
+    return z
+
+
+def segment_spmm(rows, cols, vals, B, m, n_chunks: int = 1):
+    """Traceable core: (sorted COO triplets) x B -> (m, k) via gather +
+    sorted segment_sum, optionally lax.scan-chunked over nnz.  Shared by the
+    single-chip kernel and the distributed modes (which run it per shard
+    inside shard_map)."""
+    k = B.shape[1]
+    nnz_pad = vals.shape[0]
+    if n_chunks <= 1:
+        contrib = vals[:, None] * jnp.take(B, cols, axis=0)
+        return jax.ops.segment_sum(contrib, rows, num_segments=m,
+                                   indices_are_sorted=True)
+    chunk = nnz_pad // n_chunks  # nnz_pad is tile-aligned by the plan
+
+    def step(acc, xs):
+        rows_c, cols_c, vals_c = xs
+        contrib = vals_c[:, None] * jnp.take(B, cols_c, axis=0)
+        return acc + jax.ops.segment_sum(
+            contrib, rows_c, num_segments=m, indices_are_sorted=True), None
+
+    xs = (rows.reshape(n_chunks, chunk),
+          cols.reshape(n_chunks, chunk),
+          vals.reshape(n_chunks, chunk))
+    init = _match_vma(jnp.zeros((m, k), vals.dtype), rows, cols, vals, B)
+    ab, _ = jax.lax.scan(step, init, xs)
+    return ab
+
+
 @partial(jax.jit, static_argnames=("n_chunks",))
 def spmm_coo(plan: CooPlan, B: jax.Array, alpha, beta, C: jax.Array,
              n_chunks: int = 1) -> jax.Array:
-    m = plan.shape[0]
-    k = B.shape[1]
-    nnz_pad = plan.vals.shape[0]
-    if n_chunks <= 1:
-        contrib = plan.vals[:, None] * jnp.take(B, plan.cols, axis=0)
-        ab = jax.ops.segment_sum(contrib, plan.rows, num_segments=m,
-                                 indices_are_sorted=True)
-    else:
-        chunk = nnz_pad // n_chunks  # nnz_pad is tile-aligned by the plan
-
-        def step(acc, xs):
-            rows_c, cols_c, vals_c = xs
-            contrib = vals_c[:, None] * jnp.take(B, cols_c, axis=0)
-            return acc + jax.ops.segment_sum(
-                contrib, rows_c, num_segments=m, indices_are_sorted=True), None
-
-        xs = (plan.rows.reshape(n_chunks, chunk),
-              plan.cols.reshape(n_chunks, chunk),
-              plan.vals.reshape(n_chunks, chunk))
-        ab, _ = jax.lax.scan(step, jnp.zeros((m, k), plan.vals.dtype), xs)
+    ab = segment_spmm(plan.rows, plan.cols, plan.vals, B, plan.shape[0],
+                      n_chunks=n_chunks)
     return beta * C + alpha * ab
 
 
@@ -74,8 +97,9 @@ def spmm_ell(plan: EllPlan, B: jax.Array, alpha, beta, C: jax.Array,
         gathered = gathered.reshape(m_pad, slot_chunk, k)
         return acc + (vals_c[..., None] * gathered).sum(axis=1), None
 
-    ab, _ = jax.lax.scan(step, jnp.zeros((m_pad, k), plan.vals.dtype),
-                         (cols_s, vals_s))
+    init = _match_vma(jnp.zeros((m_pad, k), plan.vals.dtype),
+                      plan.cols, plan.vals, B)
+    ab, _ = jax.lax.scan(step, init, (cols_s, vals_s))
     return beta * C + alpha * ab[:m]
 
 

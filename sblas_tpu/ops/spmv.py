@@ -23,13 +23,18 @@ import jax.numpy as jnp
 from .plans import CooPlan, EllPlan
 
 
+def segment_spmv(rows, cols, vals, x, m):
+    """Traceable core: sorted COO triplets x vector -> (m,) partial result.
+    Shared by the single-chip kernel and the distributed modes."""
+    contrib = vals * jnp.take(x, cols, axis=0)
+    return jax.ops.segment_sum(contrib, rows, num_segments=m,
+                               indices_are_sorted=True)
+
+
 @jax.jit
 def spmv_coo(plan: CooPlan, x: jax.Array, alpha, beta,
              y: jax.Array) -> jax.Array:
-    m = plan.shape[0]
-    contrib = plan.vals * jnp.take(x, plan.cols, axis=0)
-    ax = jax.ops.segment_sum(contrib, plan.rows, num_segments=m,
-                             indices_are_sorted=True)
+    ax = segment_spmv(plan.rows, plan.cols, plan.vals, x, plan.shape[0])
     return beta * y + alpha * ax
 
 

@@ -1,0 +1,9 @@
+"""Distribution layer: mesh, placement policies, distributed op modes.
+
+Analog of the reference's multi-GPU machinery (OpenMP thread-per-GPU +
+NCCL collectives inside the ops, spmm.h:101-189), rebuilt as SPMD
+shard_map programs over a jax.sharding.Mesh."""
+
+from .mesh import (DEFAULT_AXIS, init_distributed, make_mesh, pad_to_shards,
+                   place_dense, replicate, shard_along, sync_to_host)  # noqa: F401
+from .modes import spmm_mode1, spmm_mode2, spmv_dist, spmv_halo  # noqa: F401

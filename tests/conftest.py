@@ -7,13 +7,16 @@ expose 8 devices (SURVEY.md §4).  Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU even when the session env pins a TPU platform (e.g.
+# JAX_PLATFORMS=axon): tests exercise sharding on a virtual mesh.  A pytest
+# plugin imports jax before this conftest runs, so env vars alone are too
+# late — use config updates, which take effect until backends initialize.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Double precision on the CPU test mesh: lets us verify at the reference's
 # 1e-3 *absolute* tolerance exactly as its double-precision drivers do.
