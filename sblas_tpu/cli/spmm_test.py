@@ -1,0 +1,83 @@
+"""SpMM driver — argv contract of the reference's spmm_test binary.
+
+    python -m sblas_tpu.cli.spmm_test <method 1|2> <A.mtx> <B_width>
+                                      <alpha> <beta> <n_devices> [dtype]
+
+Mirrors spmm_test.cu:95-124: method 1 = partition dense B (no comm,
+spmmCsrTest spmm_test.cu:19-56), method 2 = partition sparse A + sum
+collective (spmmCsrTest2 spmm_test.cu:58-93).  Every run verifies against
+the CPU oracle and prints Load/Run/CPU times.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .common import finish, positional, setup_devices
+
+USAGE = ("usage: python -m sblas_tpu.cli.spmm_test "
+         "<method 1|2> <A.mtx> <B_width> <alpha> <beta> <n_devices> "
+         "[f32|f64]")
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    method, path, b_width, alpha, beta, n_dev = positional(
+        argv, range(6), (int, str, int, float, float, int), USAGE)
+    dtype_name = argv[6] if len(argv) > 6 else "f32"
+
+    mesh, n = setup_devices(n_dev)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..containers import CsrMatrix, DenseMatrix, MajorOrder
+    from ..ops import make_plan
+    from ..ops.cpu_reference import spmm_cpu
+    from ..parallel import spmm_mode1, spmm_mode2, sync_to_host
+    from ..partition import partition_nnz_balanced, partition_report
+    from ..utils.timing import PhaseTimer, gflops, spmm_flops, timed
+    from ..utils.verify import check_equal
+
+    np_dtype = np.float64 if dtype_name == "f64" else np.float32
+    jnp_dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
+    times: dict = {}
+
+    with timed("Load time", times):
+        A = CsrMatrix.from_mtx(path, dtype=np_dtype)
+        # reference: B random col-major, C fill 1.0 (spmm_test.cu:24-26)
+        B = DenseMatrix.random(A.width, b_width, order=MajorOrder.COL_MAJOR,
+                               dtype=np_dtype)
+        C = DenseMatrix.constant(A.height, b_width, 1.0, dtype=np_dtype)
+        if method == 1:
+            plan = make_plan(A, dtype=jnp_dtype)
+        else:
+            segs = partition_nnz_balanced(A, n, dtype=jnp_dtype)
+            print(partition_report(segs))
+    print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, K={b_width}, "
+          f"{n} device(s), method {method}")
+
+    Bd, Cd = jnp.asarray(B.values), jnp.asarray(C.values)
+    run = ((lambda: spmm_mode1(plan, Bd, alpha, beta, Cd, mesh))
+           if method == 1 else
+           (lambda: spmm_mode2(segs, Bd, alpha, beta, Cd, mesh)))
+    got = run()  # compile + first run (the reference times a cold run;
+    # we report the steady-state run, plus GFLOPs the reference omits)
+    timer = PhaseTimer()
+    timer.start_timer()
+    got = run()
+    timer.stop_timer(got)
+    times[f"{n}-device run time"] = timer.measure()
+    print(f"GFLOPS = {gflops(spmm_flops(A.nnz, b_width), timer.measure()):.3f}")
+
+    with timed("CPU run time", times):
+        want = spmm_cpu(A, B, alpha, beta, C)
+
+    report = check_equal(sync_to_host(got), want,
+                         relative=(np_dtype == np.float32))
+    print(report)
+    return finish(report.ok, times)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

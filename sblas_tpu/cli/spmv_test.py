@@ -1,0 +1,92 @@
+"""SpMV driver — argv contract of the reference's spmv_test binary.
+
+    python -m sblas_tpu.cli.spmv_test <A.mtx> <alpha> <beta> <n_devices>
+                                      [f32|f64] [--mode dist|halo|single]
+
+Mirrors spmv_test.cu:44-60 (spmvCsrTest :9-42): A nnz-segmented, x/y
+replicated, partial-y sum collective, CPU-oracle verification.  `--mode
+halo` selects the row-block + ppermute x-exchange variant (BASELINE.md
+config 4); `--mode single` runs the single-chip kernel.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .common import finish, positional, setup_devices
+
+USAGE = ("usage: python -m sblas_tpu.cli.spmv_test "
+         "<A.mtx> <alpha> <beta> <n_devices> [f32|f64] "
+         "[--mode dist|halo|single]")
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    path, alpha, beta, n_dev = positional(
+        argv, range(4), (str, float, float, int), USAGE)
+    rest = argv[4:]
+    dtype_name = rest[0] if rest and not rest[0].startswith("-") else "f32"
+    mode = "dist"
+    if "--mode" in rest:
+        mode = rest[rest.index("--mode") + 1]
+
+    mesh, n = setup_devices(n_dev)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..containers import CsrMatrix, DenseVector
+    from ..ops import make_plan, spmv
+    from ..ops.cpu_reference import spmv_cpu
+    from ..parallel import spmv_dist, spmv_halo, sync_to_host
+    from ..partition import (partition_nnz_balanced, partition_report,
+                             partition_row_blocks)
+    from ..utils.timing import PhaseTimer, nnz_per_s, timed
+    from ..utils.verify import check_equal
+
+    np_dtype = np.float64 if dtype_name == "f64" else np.float32
+    jnp_dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
+    times: dict = {}
+
+    with timed("Load time", times):
+        A = CsrMatrix.from_mtx(path, dtype=np_dtype)
+        # reference: x random, y fill 1.0 (spmv_test.cu:12-14)
+        x = DenseVector.random(A.width, dtype=np_dtype)
+        y = DenseVector.constant(A.height, 1.0, dtype=np_dtype)
+        if mode == "dist":
+            segs = partition_nnz_balanced(A, n, dtype=jnp_dtype)
+            print(partition_report(segs))
+        elif mode == "halo":
+            blocks = partition_row_blocks(A, n, dtype=jnp_dtype)
+            print(f"halo widths: {blocks.halo_left}/{blocks.halo_right} "
+                  f"(block {blocks.rows_per_shard})")
+        else:
+            plan = make_plan(A, dtype=jnp_dtype)
+    print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, {n} device(s), "
+          f"mode {mode}")
+
+    xd, yd = jnp.asarray(x.values), jnp.asarray(y.values)
+    run = {
+        "dist": lambda: spmv_dist(segs, xd, alpha, beta, yd, mesh),
+        "halo": lambda: spmv_halo(blocks, xd, alpha, beta, yd, mesh),
+        "single": lambda: spmv(plan, xd, alpha, beta, yd),
+    }[mode]
+    got = run()  # compile
+    timer = PhaseTimer()
+    timer.start_timer()
+    got = run()
+    timer.stop_timer(got)
+    times[f"{n}-device run time"] = timer.measure()
+    print(f"nnz/s = {nnz_per_s(A.nnz, timer.measure()):.3e}")
+
+    with timed("CPU run time", times):
+        want = spmv_cpu(A, x, alpha, beta, y)
+
+    report = check_equal(sync_to_host(got), want,
+                         relative=(np_dtype == np.float32))
+    print(report)
+    return finish(report.ok, times)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -23,7 +23,10 @@ TPU-first re-design of the reference's two multi-GPU strategies:
 
 The reference's per-call NCCL communicator setup/teardown
 (ncclCommInitRank inside an omp region, spmm.h:179-189) has no equivalent:
-collectives are compiled into the jitted program.
+collectives are compiled into the jitted program.  Compiled programs are
+cached per (mesh, axis, strategy) — repeat calls with same-shaped operands
+hit XLA's jit cache instead of rebuilding the SPMD program (the reference
+re-creates its comms and cuSPARSE descriptors on every call).
 
 All entry points accept a `reduce=` choice and return global `jax.Array`s;
 alpha/beta epilogues are fused into the same program (vs the reference's
@@ -32,35 +35,119 @@ separate plusDenseMatrixGPU launch, spmm.h:283).
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.plans import CooPlan, EllPlan
+from ..ops.plans import EllPlan
 from ..ops.spmm import segment_spmm, spmm_ell
-from ..ops.spmv import segment_spmv, spmv_ell
+from ..ops.spmv import segment_spmv
 from ..partition import CooSegments, RowBlocks
 from ..utils.errors import PartitionError, ShapeError, require
 from .mesh import DEFAULT_AXIS
-
-
-def _axis_size(mesh: Mesh, axis: str) -> int:
-    return mesh.shape[axis]
 
 
 def _pad_rows(x, m_pad):
     pad = m_pad - x.shape[0]
     if pad == 0:
         return x
-    width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-    return jnp.pad(x, width)
+    return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
 
 # ---------------------------------------------------------------------------
-# Mode 1: partition dense B (no communication)
+# Cached program builders: one compiled SPMD program per (mesh, axis,
+# strategy); XLA's jit cache handles per-shape specialization below that.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _mode1_program(mesh: Mesh, axis: str):
+    def fn(plan, B_blk, C_blk, alpha, beta):
+        if isinstance(plan, EllPlan):
+            return spmm_ell(plan, B_blk, alpha, beta, C_blk)
+        ab = segment_spmm(plan.rows, plan.cols, plan.vals, B_blk,
+                          plan.shape[0])
+        return beta * C_blk + alpha * ab
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis), P(), P()),
+        out_specs=P(None, axis)))
+
+
+@functools.lru_cache(maxsize=None)
+def _mode2_spmm_program(mesh: Mesh, axis: str, reduce: str):
+    n = mesh.shape[axis]
+
+    def fn(segs, B, C, alpha, beta):
+        m = segs.shape[0]
+        partial_c = segment_spmm(segs.rows[0], segs.cols[0], segs.vals[0],
+                                 B, m)
+        if reduce == "psum":
+            return beta * C + alpha * lax.psum(partial_c, axis)
+        mine = lax.psum_scatter(_pad_rows(partial_c, -(-m // n) * n), axis,
+                                scatter_dimension=0, tiled=True)
+        return beta * C + alpha * mine
+
+    c_spec = P() if reduce == "psum" else P(axis, None)
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis, None), P(), c_spec, P(), P()),
+        out_specs=c_spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _mode2_spmv_program(mesh: Mesh, axis: str, reduce: str):
+    n = mesh.shape[axis]
+
+    def fn(segs, x, y, alpha, beta):
+        m = segs.shape[0]
+        partial_y = segment_spmv(segs.rows[0], segs.cols[0], segs.vals[0],
+                                 x, m)
+        if reduce == "psum":
+            return beta * y + alpha * lax.psum(partial_y, axis)
+        mine = lax.psum_scatter(_pad_rows(partial_y, -(-m // n) * n), axis,
+                                scatter_dimension=0, tiled=True)
+        return beta * y + alpha * mine
+
+    y_spec = P() if reduce == "psum" else P(axis)
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis, None), P(), y_spec, P(), P()),
+        out_specs=y_spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _halo_spmv_program(mesh: Mesh, axis: str):
+    n = mesh.shape[axis]
+
+    def fn(blocks, x_blk, y_blk, alpha, beta):
+        r = blocks.rows_per_shard
+        cols, vals, lrows = (blocks.cols[0], blocks.vals[0],
+                             blocks.local_rows[0])
+        idx = lax.axis_index(axis)
+        # pull left and right neighbor x blocks over the ICI ring
+        from_left = lax.ppermute(x_blk, axis,
+                                 perm=[(i, (i + 1) % n) for i in range(n)])
+        from_right = lax.ppermute(x_blk, axis,
+                                  perm=[(i, (i - 1) % n) for i in range(n)])
+        x_ext = jnp.concatenate([from_left, x_blk, from_right])  # (3r,)
+        # global col -> offset into x_ext: col - (block_start - r); clip is
+        # a no-op for valid plans (halo <= r checked by the wrapper)
+        local_cols = jnp.clip(cols - (idx * r - r), 0, 3 * r - 1)
+        partial_y = segment_spmv(lrows, local_cols, vals, x_ext, r)
+        return beta * y_blk + alpha * partial_y
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(), P()),
+        out_specs=P(axis)))
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
 # ---------------------------------------------------------------------------
 
 def spmm_mode1(plan, B, alpha, beta, C, mesh: Mesh,
@@ -71,31 +158,16 @@ def spmm_mode1(plan, B, alpha, beta, C, mesh: Mesh,
     multiplies the full A against its K/n column slice; no collective.
     K is zero-padded to a multiple of the shard count (the reference gives
     the last GPU a ragged slice instead, matrix.h:563-567)."""
-    n = _axis_size(mesh, axis)
-    m = plan.shape[0]
+    n = mesh.shape[axis]
     require(B.shape[0] == plan.shape[1], ShapeError,
             f"A width {plan.shape[1]} != B height {B.shape[0]}")
     k = B.shape[1]
     k_pad = -(-k // n) * n
     B_p = jnp.pad(B, ((0, 0), (0, k_pad - k)))
     C_p = jnp.pad(C, ((0, 0), (0, k_pad - k)))
-
-    def fn(plan_, B_blk, C_blk, alpha_, beta_):
-        if isinstance(plan_, EllPlan):
-            return spmm_ell(plan_, B_blk, alpha_, beta_, C_blk)
-        ab = segment_spmm(plan_.rows, plan_.cols, plan_.vals, B_blk, m)
-        return beta_ * C_blk + alpha_ * ab
-
-    out = jax.jit(jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=(P(), P(None, axis), P(None, axis), P(), P()),
-        out_specs=P(None, axis)))(plan, B_p, C_p, alpha, beta)
+    out = _mode1_program(mesh, axis)(plan, B_p, C_p, alpha, beta)
     return out[:, :k]
 
-
-# ---------------------------------------------------------------------------
-# Mode 2: partition sparse A (psum / psum_scatter of partial C)
-# ---------------------------------------------------------------------------
 
 def spmm_mode2(segs: CooSegments, B, alpha, beta, C, mesh: Mesh,
                axis: str = DEFAULT_AXIS, reduce: str = "psum") -> jax.Array:
@@ -105,44 +177,20 @@ def spmm_mode2(segs: CooSegments, B, alpha, beta, C, mesh: Mesh,
     `reduce="psum"` reproduces the reference's all-reduce of the full
     replicated C_copy (spmm.h:182-183, 260-262) followed by the fused
     alpha/beta fold (spmm.h:283).  `reduce="psum_scatter"` returns the same
-    values but leaves C row-sharded, moving 1/n of the bytes per link."""
+    values but keeps C row-sharded, moving 1/n of the bytes per link."""
     require(reduce in ("psum", "psum_scatter"), PartitionError,
             f"bad reduce {reduce!r}")
-    n = _axis_size(mesh, axis)
+    n = mesh.shape[axis]
     require(segs.n_shards == n, PartitionError,
             f"segments built for {segs.n_shards} shards, mesh has {n}")
-    m, k = segs.shape[0], B.shape[1]
     require(B.shape[0] == segs.shape[1], ShapeError,
             f"A width {segs.shape[1]} != B height {B.shape[0]}")
-    m_pad = -(-m // n) * n
-
+    m = segs.shape[0]
+    prog = _mode2_spmm_program(mesh, axis, reduce)
     if reduce == "psum":
-        def fn(rows, cols, vals, B_, C_, alpha_, beta_):
-            partial_c = segment_spmm(rows[0], cols[0], vals[0], B_, m)
-            total = lax.psum(partial_c, axis)
-            return beta_ * C_ + alpha_ * total
-
-        return jax.jit(jax.shard_map(
-            fn, mesh=mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                      P(), P(), P(), P()),
-            out_specs=P()))(segs.rows, segs.cols, segs.vals, B, C,
-                            alpha, beta)
-
-    def fn(rows, cols, vals, B_, C_blk, alpha_, beta_):
-        partial_c = segment_spmm(rows[0], cols[0], vals[0], B_, m)
-        partial_c = _pad_rows(partial_c, m_pad)
-        mine = lax.psum_scatter(partial_c, axis, scatter_dimension=0,
-                                tiled=True)
-        return beta_ * C_blk + alpha_ * mine
-
-    C_p = _pad_rows(C, m_pad)
-    out = jax.jit(jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                  P(), P(axis, None), P(), P()),
-        out_specs=P(axis, None)))(segs.rows, segs.cols, segs.vals, B, C_p,
-                                  alpha, beta)
+        return prog(segs, B, C, alpha, beta)
+    m_pad = -(-m // n) * n
+    out = prog(segs, B, _pad_rows(C, m_pad), alpha, beta)
     return out[:m]
 
 
@@ -155,46 +203,19 @@ def spmv_dist(segs: CooSegments, x, alpha, beta, y, mesh: Mesh,
     fold (spmv.h:138)."""
     require(reduce in ("psum", "psum_scatter"), PartitionError,
             f"bad reduce {reduce!r}")
-    n = _axis_size(mesh, axis)
+    n = mesh.shape[axis]
     require(segs.n_shards == n, PartitionError,
             f"segments built for {segs.n_shards} shards, mesh has {n}")
-    m = segs.shape[0]
     require(x.shape[0] == segs.shape[1], ShapeError,
             f"A width {segs.shape[1]} != x length {x.shape[0]}")
-    m_pad = -(-m // n) * n
-
+    m = segs.shape[0]
+    prog = _mode2_spmv_program(mesh, axis, reduce)
     if reduce == "psum":
-        def fn(rows, cols, vals, x_, y_, alpha_, beta_):
-            partial_y = segment_spmv(rows[0], cols[0], vals[0], x_, m)
-            return beta_ * y_ + alpha_ * lax.psum(partial_y, axis)
-
-        return jax.jit(jax.shard_map(
-            fn, mesh=mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                      P(), P(), P(), P()),
-            out_specs=P()))(segs.rows, segs.cols, segs.vals, x, y,
-                            alpha, beta)
-
-    def fn(rows, cols, vals, x_, y_blk, alpha_, beta_):
-        partial_y = segment_spmv(rows[0], cols[0], vals[0], x_, m)
-        partial_y = _pad_rows(partial_y, m_pad)
-        mine = lax.psum_scatter(partial_y, axis, scatter_dimension=0,
-                                tiled=True)
-        return beta_ * y_blk + alpha_ * mine
-
-    y_p = _pad_rows(y, m_pad)
-    out = jax.jit(jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                  P(), P(axis), P(), P()),
-        out_specs=P(axis)))(segs.rows, segs.cols, segs.vals, x, y_p,
-                            alpha, beta)
+        return prog(segs, x, y, alpha, beta)
+    m_pad = -(-m // n) * n
+    out = prog(segs, x, _pad_rows(y, m_pad), alpha, beta)
     return out[:m]
 
-
-# ---------------------------------------------------------------------------
-# Halo-exchange SpMV over row blocks (BASELINE config 4)
-# ---------------------------------------------------------------------------
 
 def spmv_halo(blocks: RowBlocks, x, alpha, beta, y, mesh: Mesh,
               axis: str = DEFAULT_AXIS) -> jax.Array:
@@ -205,7 +226,7 @@ def spmv_halo(blocks: RowBlocks, x, alpha, beta, y, mesh: Mesh,
     Requires the matrix's column footprint per block to reach at most one
     block left/right (checked from the planner's halo metadata) — the
     natural case for banded/FEM matrices.  Wider reach -> use spmv_dist."""
-    n = _axis_size(mesh, axis)
+    n = mesh.shape[axis]
     require(blocks.n_shards == n, PartitionError,
             f"blocks built for {blocks.n_shards} shards, mesh has {n}")
     r = blocks.rows_per_shard
@@ -214,28 +235,6 @@ def spmv_halo(blocks: RowBlocks, x, alpha, beta, y, mesh: Mesh,
             f" exceeds one block ({r}); use spmv_dist instead")
     m = blocks.shape[0]
     m_pad = r * n
-
-    def fn(cols, vals, lrows, x_blk, y_blk, alpha_, beta_):
-        cols, vals, lrows = cols[0], vals[0], lrows[0]
-        x_blk = x_blk.reshape(r)
-        idx = lax.axis_index(axis)
-        # pull left and right neighbor x blocks over the ring
-        from_left = lax.ppermute(x_blk, axis,
-                                 perm=[(i, (i + 1) % n) for i in range(n)])
-        from_right = lax.ppermute(x_blk, axis,
-                                  perm=[(i, (i - 1) % n) for i in range(n)])
-        x_ext = jnp.concatenate([from_left, x_blk, from_right])  # (3r,)
-        # global col -> offset into x_ext: col - (block_start - r)
-        local_cols = jnp.clip(cols - (idx * r - r), 0, 3 * r - 1)
-        partial_y = segment_spmv(lrows, local_cols, vals, x_ext, r)
-        return beta_ * y_blk.reshape(r) + alpha_ * partial_y
-
-    x_p = _pad_rows(x, m_pad)
-    y_p = _pad_rows(y, m_pad)
-    out = jax.jit(jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                  P(axis), P(axis), P(), P()),
-        out_specs=P(axis)))(blocks.cols, blocks.vals, blocks.local_rows,
-                            x_p, y_p, alpha, beta)
+    out = _halo_spmv_program(mesh, axis)(
+        blocks, _pad_rows(x, m_pad), _pad_rows(y, m_pad), alpha, beta)
     return out[:m]

@@ -1,0 +1,67 @@
+"""Device-accurate kernel timing through an async dispatch tunnel.
+
+The axon TPU attachment dispatches asynchronously and `block_until_ready`
+returns before device completion, with a ~1.2 ms per-dispatch overhead —
+naive wall-clock timing measures the tunnel, not the kernel (the analog of
+timing CUDA without cudaEventSynchronize).  Strategy:
+
+1. run K iterations of the op inside ONE jitted `lax.fori_loop` (single
+   dispatch, K devices-side executions);
+2. thread the carry through the op's *inputs* (not just the epilogue) so
+   XLA cannot hoist the loop-invariant hot computation out of the loop;
+3. synchronize by fetching a scalar reduction to host (a real data
+   dependency), and amortize: per-iter = (t_loop(K) - t_dispatch) / K.
+
+`loop_time_ms` is the framework's `gpu_timer` equivalent
+(reference utility.h:163-178, cudaEvent pair).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _sync(x) -> None:
+    """Force device completion via a scalar host fetch."""
+    np.asarray(jnp.sum(x))
+
+
+@partial(jax.jit, static_argnames=("step", "iters"))
+def _looped(carry, step, iters: int):
+    return lax.fori_loop(0, iters, lambda i, c: step(c), carry)
+
+
+def dispatch_overhead_ms(n: int = 10) -> float:
+    """Median cost of one null dispatch+sync round trip."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    _sync(f(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _sync(f(x))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
+
+
+def loop_time_ms(step, init_carry, iters: int = 32, reps: int = 5) -> float:
+    """Median per-iteration device time of `step` (carry -> carry).
+
+    `step` must consume its carry in the hot path (see module docstring);
+    it is hashed as a static jit argument, so pass a module-level function
+    or a stable closure."""
+    overhead = dispatch_overhead_ms()
+    _sync(_looped(init_carry, step, iters))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(_looped(init_carry, step, iters))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    total = float(np.median(ts))
+    return max(total - overhead, 1e-6) / iters
