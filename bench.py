@@ -36,11 +36,11 @@ def main() -> int:
 
     from sblas_tpu.containers import DenseMatrix, DenseVector
     from sblas_tpu.io.generate import fem_banded_like, webbase_like
-    from sblas_tpu.ops import make_plan
+    from sblas_tpu.ops import make_plan, spmm, spmv
     from sblas_tpu.ops.cpu_reference import spmm_cpu, spmv_cpu
     from sblas_tpu.ops.plans import CooPlan
-    from sblas_tpu.ops.spmm import spmm, spmm_coo
-    from sblas_tpu.ops.spmv import spmv, spmv_coo
+    from sblas_tpu.ops.spmm import spmm_coo
+    from sblas_tpu.ops.spmv import spmv_coo
     from sblas_tpu.utils.benchtime import dispatch_overhead_ms, loop_time_ms
     from sblas_tpu.utils.timing import gflops, nnz_per_s, spmm_flops
     from sblas_tpu.utils.verify import assert_equal

@@ -53,6 +53,13 @@ class SBlasConfig:
     # ELL layout is considered pathological and COO/segment-sum is used.
     ell_blowup_limit: float = 16.0
 
+    # Block-sparse guard: BELL is chosen when stored/true nnz stays under
+    # this (the MXU path wins by far more than this factor when it fits).
+    bsr_blowup_limit: float = 16.0
+
+    # Block geometry for the BELL layout (MXU tile by default).
+    bsr_block: tuple = (MXU_DIM, MXU_DIM)
+
     @staticmethod
     def from_env() -> "SBlasConfig":
         def _f(name: str, default: float) -> float:
@@ -68,6 +75,9 @@ class SBlasConfig:
             nnz_tile=_i("SBLAS_NNZ_TILE", SUBLANES_F32 * LANES),
             dense_tile=_i("SBLAS_DENSE_TILE", MXU_DIM),
             ell_blowup_limit=_f("SBLAS_ELL_BLOWUP_LIMIT", 16.0),
+            bsr_blowup_limit=_f("SBLAS_BSR_BLOWUP_LIMIT", 16.0),
+            bsr_block=(_i("SBLAS_BSR_BLOCK_R", MXU_DIM),
+                       _i("SBLAS_BSR_BLOCK_C", MXU_DIM)),
         )
 
 

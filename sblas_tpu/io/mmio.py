@@ -162,6 +162,19 @@ def read_coo(path: str, value_dtype=np.float64):
     header = read_header(path)
     offset = _data_offset(path)
 
+    if header.is_sparse and header.nnz_stored > 0:
+        triplets = _read_coordinate_native(header, path, offset, value_dtype)
+        if triplets is not None:
+            row_idx, col_idx, values = triplets
+            require(bool((row_idx >= 0).all()
+                         and (row_idx < header.nrows).all()
+                         and (col_idx >= 0).all()
+                         and (col_idx < header.ncols).all()),
+                    FormatError, "index out of declared bounds")
+            row_idx, col_idx, values = _expand_symmetry(
+                header, row_idx, col_idx, values)
+            return header, row_idx, col_idx, values
+
     if header.is_pattern:
         ncol_file = 2
     elif header.is_complex:
@@ -223,6 +236,31 @@ def read_coo(path: str, value_dtype=np.float64):
 
     row_idx, col_idx, values = _expand_symmetry(header, row_idx, col_idx, values)
     return header, row_idx, col_idx, values
+
+
+def _read_coordinate_native(header: MMHeader, path: str, offset: int,
+                            value_dtype):
+    """Fast path: parse the data section with the C++ library
+    (sblas_tpu.io.native -> native/mtxparse.cpp).  Returns None when the
+    native tier is unavailable or fails — callers fall back to numpy."""
+    from . import native
+    if not native.available():
+        return None
+    try:
+        out = native.parse_coordinate(path, offset, header.nnz_stored,
+                                      header.field)
+    except RuntimeError:
+        return None
+    if header.is_complex:
+        rows, cols, vals, imag = out
+        if np.issubdtype(value_dtype, np.complexfloating):
+            values = (vals + 1j * imag).astype(value_dtype)
+        else:
+            values = vals.astype(value_dtype)  # real part only
+    else:
+        rows, cols, vals = out
+        values = vals.astype(value_dtype)
+    return rows, cols, values
 
 
 def _expand_symmetry(header: MMHeader, row_idx, col_idx, values):

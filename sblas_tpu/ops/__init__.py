@@ -1,12 +1,19 @@
 """Ops layer: single-chip SpMV/SpMM kernels + CPU oracle.
 
-Analog of the reference's ops headers (spmm.h / spmv.h behind sblas.h)."""
+Analog of the reference's ops headers (spmm.h / spmv.h behind sblas.h).
+Three device layouts, chosen by `make_plan`:
+
+* BELL block-sparse (MXU batched matmuls) — block-friendly structure;
+* ELL (gather-only VPU) — balanced row occupancy;
+* padded COO (gather + sorted segment_sum) — anything else.
+"""
 
 from . import cpu_reference  # noqa: F401
+from .bsr import BsrPlan, bell_stats, spmm_bsr, spmv_bsr  # noqa: F401
 from .elementwise import axpby, plus_scalar  # noqa: F401
 from .plans import CooPlan, EllPlan  # noqa: F401
-from .spmm import spmm, spmm_coo, spmm_ell  # noqa: F401
-from .spmv import spmv, spmv_coo, spmv_ell  # noqa: F401
+from .spmm import spmm_coo, spmm_ell  # noqa: F401
+from .spmv import spmv_coo, spmv_ell  # noqa: F401
 
 from ..config import DEFAULT
 
@@ -14,13 +21,50 @@ from ..config import DEFAULT
 def make_plan(A, dtype=None, config=DEFAULT, force=None):
     """Choose the best single-chip layout for CSR matrix `A`.
 
-    `force` in {"coo", "ell"} overrides the heuristic (ELL when row
-    occupancy is balanced enough, see EllPlan.is_profitable)."""
+    `force` in {"bsr", "ell", "coo"} overrides the heuristic."""
     import jax.numpy as jnp
     dtype = dtype or jnp.float32
-    kind = force or ("ell" if EllPlan.is_profitable(A, config) else "coo")
+    kind = force
+    if kind is None:
+        if bell_stats(A, config.bsr_block)["blowup"] <= config.bsr_blowup_limit:
+            kind = "bsr"
+        elif EllPlan.is_profitable(A, config):
+            kind = "ell"
+        else:
+            kind = "coo"
+    if kind == "bsr":
+        return BsrPlan.from_csr(A, dtype=dtype, block=config.bsr_block,
+                                config=config)
     if kind == "ell":
         return EllPlan.from_csr(A, dtype=dtype, config=config)
     if kind == "coo":
         return CooPlan.from_csr(A, dtype=dtype, config=config)
     raise ValueError(f"unknown plan kind {kind!r}")
+
+
+def spmv(plan, x, alpha=1.0, beta=1.0, y=None):
+    """y' = beta*y + alpha*A@x, dispatched on plan type (`y=None` drops the
+    beta term)."""
+    import jax.numpy as jnp
+
+    from .spmv import spmv as _spmv_xla
+    if y is None:
+        y = jnp.zeros(plan.shape[0], dtype=plan.vals.dtype)
+        beta = 0.0
+    if isinstance(plan, BsrPlan):
+        return spmv_bsr(plan, x, alpha, beta, y)
+    return _spmv_xla(plan, x, alpha, beta, y)
+
+
+def spmm(plan, B, alpha=1.0, beta=1.0, C=None):
+    """C' = beta*C + alpha*A@B, dispatched on plan type (`C=None` drops the
+    beta term)."""
+    import jax.numpy as jnp
+
+    from .spmm import spmm as _spmm_xla
+    if C is None:
+        C = jnp.zeros((plan.shape[0], B.shape[1]), dtype=plan.vals.dtype)
+        beta = 0.0
+    if isinstance(plan, BsrPlan):
+        return spmm_bsr(plan, B, alpha, beta, C)
+    return _spmm_xla(plan, B, alpha, beta, C)

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.bsr import BsrPlan, spmm_bsr
 from ..ops.plans import EllPlan
 from ..ops.spmm import segment_spmm, spmm_ell
 from ..ops.spmv import segment_spmv
@@ -65,6 +66,8 @@ def _pad_rows(x, m_pad):
 @functools.lru_cache(maxsize=None)
 def _mode1_program(mesh: Mesh, axis: str):
     def fn(plan, B_blk, C_blk, alpha, beta):
+        if isinstance(plan, BsrPlan):
+            return spmm_bsr(plan, B_blk, alpha, beta, C_blk)
         if isinstance(plan, EllPlan):
             return spmm_ell(plan, B_blk, alpha, beta, C_blk)
         ab = segment_spmm(plan.rows, plan.cols, plan.vals, B_blk,
