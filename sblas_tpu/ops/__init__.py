@@ -14,14 +14,22 @@ from .elementwise import axpby, plus_scalar  # noqa: F401
 from .plans import CooPlan, EllPlan  # noqa: F401
 from .spmm import spmm_coo, spmm_ell  # noqa: F401
 from .spmv import spmv_coo, spmv_ell  # noqa: F401
+from .wcoo import WcooPlan, spmm_wcoo, spmv_wcoo  # noqa: F401
 
 from ..config import DEFAULT
+
+# Windowed-COO tile-split overhead beyond which plain COO is used instead
+# (only near-empty matrices with huge row gaps get close).
+_WCOO_FILL_LIMIT = 8.0
 
 
 def make_plan(A, dtype=None, config=DEFAULT, force=None):
     """Choose the best single-chip layout for CSR matrix `A`.
 
-    `force` in {"bsr", "ell", "coo"} overrides the heuristic."""
+    Heuristic order: BSR (MXU blocks) when the structure is block-friendly,
+    ELL when rows are balanced, windowed-COO otherwise (gather/scatter-free
+    unstructured path), plain COO as the universal fallback.  `force` in
+    {"bsr", "ell", "wcoo", "coo"} overrides."""
     import jax.numpy as jnp
     dtype = dtype or jnp.float32
     kind = force
@@ -31,12 +39,17 @@ def make_plan(A, dtype=None, config=DEFAULT, force=None):
         elif EllPlan.is_profitable(A, config):
             kind = "ell"
         else:
+            plan = WcooPlan.from_csr(A, dtype=dtype, config=config)
+            if plan.fill_ratio <= _WCOO_FILL_LIMIT:
+                return plan
             kind = "coo"
     if kind == "bsr":
         return BsrPlan.from_csr(A, dtype=dtype, block=config.bsr_block,
                                 config=config)
     if kind == "ell":
         return EllPlan.from_csr(A, dtype=dtype, config=config)
+    if kind == "wcoo":
+        return WcooPlan.from_csr(A, dtype=dtype, config=config)
     if kind == "coo":
         return CooPlan.from_csr(A, dtype=dtype, config=config)
     raise ValueError(f"unknown plan kind {kind!r}")
@@ -53,6 +66,8 @@ def spmv(plan, x, alpha=1.0, beta=1.0, y=None):
         beta = 0.0
     if isinstance(plan, BsrPlan):
         return spmv_bsr(plan, x, alpha, beta, y)
+    if isinstance(plan, WcooPlan):
+        return spmv_wcoo(plan, x, alpha, beta, y)
     return _spmv_xla(plan, x, alpha, beta, y)
 
 
@@ -67,4 +82,6 @@ def spmm(plan, B, alpha=1.0, beta=1.0, C=None):
         beta = 0.0
     if isinstance(plan, BsrPlan):
         return spmm_bsr(plan, B, alpha, beta, C)
+    if isinstance(plan, WcooPlan):
+        return spmm_wcoo(plan, B, alpha, beta, C)
     return _spmm_xla(plan, B, alpha, beta, C)
