@@ -1,0 +1,261 @@
+"""Host-DRAM-resident operands streamed into HBM (the UM-analog subsystem).
+
+TPU-first rebuild of the reference's CUDA Unified-Memory stack
+(matrix_um.h / spmm_um.h / spmv_um.h): where the reference allocates
+managed memory (`SAFE_ALOC_MANAGED`, utility.h:126-127) and steers page
+residency with `cudaMemAdvise`/`cudaMemPrefetchAsync`
+(applyGpuTuning/removeGpuTuning/applyCpuTuning, matrix_um.h:529-614), the
+TPU equivalent is explicit placement in the `pinned_host` memory space plus
+a **band-streaming executor**: the sparse operand is split into row bands
+sized to an HBM budget, each band is DMA'd host->HBM and multiplied while
+the next band's transfer is in flight (double buffering via JAX's async
+dispatch), and a sliding window bounds resident HBM.
+
+API parity with the reference's UM surface:
+
+* `HostResidentPlan`       <- the `*_um` containers (matrix_um.h:122-1075)
+* `.apply_gpu_tuning()`    <- applyGpuTuning (prefetch to device and keep)
+* `.remove_gpu_tuning()`   <- removeGpuTuning (drop device copies)
+* `.apply_cpu_tuning()`    <- applyCpuTuning (host-resident, the default)
+* `spmm_um` / `spmv_um`    <- sblas_spmm_csr_v2/spmv_v1 with the trailing
+                              `tuning` flag (spmm_um.h:167,185-187)
+
+With `tuning=True` the whole operand is prefetched once and compute runs
+entirely from HBM — the reference's tuned mode; with `tuning=False` bands
+stream on demand — the reference's fault-driven mode, minus the faults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT, SBlasConfig
+from ..containers import CsrMatrix
+from ..ops.bsr import BsrPlan, spmm_bsr, spmv_bsr
+from ..ops.plans import EllPlan
+from ..ops.spmm import spmm_ell
+from ..ops.spmv import spmv_ell
+from ..utils.errors import PartitionError, require
+
+# Bands kept in flight during streaming (band i+2 transfers while band i
+# computes — the double-buffer depth of the reference's prefetch pipeline).
+_INFLIGHT = 3
+
+
+def _host_sharding():
+    dev = jax.devices()[0]
+    return jax.sharding.SingleDeviceSharding(dev, memory_kind="pinned_host")
+
+
+def _device_sharding():
+    dev = jax.devices()[0]
+    return jax.sharding.SingleDeviceSharding(dev, memory_kind="device")
+
+
+def _to_host(tree):
+    return jax.device_put(tree, _host_sharding())
+
+
+def _to_device(tree):
+    return jax.device_put(tree, _device_sharding())
+
+
+@dataclasses.dataclass
+class HostResidentPlan:
+    """Row-band-partitioned plan, bands pinned in host DRAM.
+
+    `bands[i]` covers rows [i*band_rows, (i+1)*band_rows); all bands share
+    one static shape (the last is padded) so a single compiled kernel
+    serves every band."""
+
+    bands: List  # per-band plan pytrees (BsrPlan or EllPlan), pinned host
+    band_rows: int
+    shape: tuple
+    nnz: int
+    kind: str  # "bsr" | "ell"
+    _device_bands: Optional[List] = None
+
+    @property
+    def n_bands(self) -> int:
+        return len(self.bands)
+
+    @property
+    def tuned(self) -> bool:
+        return self._device_bands is not None
+
+    # --- residency control (reference matrix_um.h:529-614) ---
+    def apply_gpu_tuning(self) -> None:
+        """Prefetch every band to HBM and keep it there."""
+        if self._device_bands is None:
+            self._device_bands = [_to_device(b) for b in self.bands]
+            jax.block_until_ready(self._device_bands)
+
+    def remove_gpu_tuning(self) -> None:
+        """Drop HBM copies; bands stay pinned in host DRAM."""
+        self._device_bands = None
+
+    def apply_cpu_tuning(self) -> None:
+        """Alias of remove_gpu_tuning for reference API parity."""
+        self.remove_gpu_tuning()
+
+    def band_device(self, i: int):
+        """Band i, on device: prefetched copy when tuned, fresh async DMA
+        from pinned host otherwise."""
+        if self._device_bands is not None:
+            return self._device_bands[i]
+        return _to_device(self.bands[i])
+
+
+def host_resident_plan(A: CsrMatrix, dtype=jnp.float32,
+                       hbm_budget_bytes: int = 256 << 20,
+                       config: SBlasConfig = DEFAULT) -> HostResidentPlan:
+    """Build a band-partitioned, host-pinned plan for matrix A.
+
+    Band height is chosen so one band's arrays fit in
+    `hbm_budget_bytes / _INFLIGHT` (the sliding-window working set)."""
+    from ..ops.bsr import bell_stats
+    m, n = A.shape
+    itemsize = jnp.dtype(dtype).itemsize
+
+    use_bsr = (bell_stats(A, config.bsr_block)["blowup"]
+               <= config.bsr_blowup_limit)
+    if use_bsr:
+        R, C = config.bsr_block
+        st = bell_stats(A, config.bsr_block)
+        bytes_per_brow = st["slots"] * R * C * (itemsize + 4 / (R * C))
+        brows_per_band = max(int((hbm_budget_bytes / _INFLIGHT)
+                                 // max(bytes_per_brow, 1)), 1)
+        band_rows = brows_per_band * R
+    else:
+        require(EllPlan.is_profitable(A, config), PartitionError,
+                "host-resident streaming currently requires BSR- or "
+                "ELL-friendly structure")
+        L = max(int(A.row_nnz.max()), 1)
+        bytes_per_row = L * (itemsize + 4)
+        band_rows = max(int((hbm_budget_bytes / _INFLIGHT)
+                            // max(bytes_per_row, 1)), 8)
+        band_rows = (band_rows // 8) * 8
+
+    band_rows = min(band_rows, max(m, 1))
+    n_bands = -(-m // band_rows) if m else 1
+
+    # slice A into row bands; share one (padded) static shape
+    bands = []
+    max_slots = 1
+    band_csrs = []
+    for i in range(n_bands):
+        r0, r1 = i * band_rows, min((i + 1) * band_rows, m)
+        lo, hi = int(A.row_ptr[r0]), int(A.row_ptr[r1])
+        sub = CsrMatrix(A.row_ptr[r0:r1 + 1] - lo, A.col_idx[lo:hi],
+                        A.values[lo:hi], (r1 - r0, n))
+        band_csrs.append(sub)
+        if use_bsr:
+            max_slots = max(max_slots,
+                            bell_stats(sub, config.bsr_block)["slots"])
+        else:
+            max_slots = max(max_slots,
+                            int(sub.row_nnz.max()) if sub.nnz else 1)
+
+    # build every band in host numpy, then one put to pinned host per band —
+    # never bouncing through device HBM (the tunnel makes that glacial)
+    host = _host_sharding()
+    np_val_dtype = np.dtype(jnp.dtype(dtype).name)
+    for sub in band_csrs:
+        if use_bsr:
+            from ..ops.bsr import bell_arrays
+            vals, bcol = bell_arrays(sub, config.bsr_block)
+            R = config.bsr_block[0]
+            n_brows_t = -(-band_rows // R)
+            vals = np.pad(vals, ((0, n_brows_t - vals.shape[0]),
+                                 (0, max_slots - vals.shape[1]),
+                                 (0, 0), (0, 0))).astype(np_val_dtype)
+            bcol = np.pad(bcol, ((0, n_brows_t - bcol.shape[0]),
+                                 (0, max_slots - bcol.shape[1])))
+            # NB: every band must carry IDENTICAL static metadata (shape,
+            # nnz) — meta fields key the jit cache, and per-band values
+            # would force one full kernel compile per band.
+            plan = BsrPlan(
+                jax.device_put(vals, host),
+                jax.device_put(bcol.astype(np.int32), host),
+                (band_rows, n), A.nnz, config.bsr_block)
+        else:
+            from ..ops.plans import ell_arrays
+            cols, vals = ell_arrays(sub)
+            m_pad_t = -(-band_rows // 8) * 8
+            cols = np.pad(cols, ((0, m_pad_t - cols.shape[0]),
+                                 (0, max_slots - cols.shape[1])))
+            vals = np.pad(vals, ((0, m_pad_t - vals.shape[0]),
+                                 (0, max_slots - vals.shape[1])))
+            plan = EllPlan(
+                jax.device_put(cols.astype(np.int32), host),
+                jax.device_put(vals.astype(np_val_dtype), host),
+                (band_rows, n), A.nnz)
+        bands.append(plan)
+
+    return HostResidentPlan(bands=bands, band_rows=band_rows,
+                            shape=A.shape, nnz=A.nnz,
+                            kind="bsr" if use_bsr else "ell")
+
+
+def _band_matmul(kind: str, band_plan, B):
+    if kind == "bsr":
+        return spmm_bsr(band_plan, B, 1.0, 0.0,
+                        jnp.zeros((band_plan.shape[0], B.shape[1]),
+                                  band_plan.vals.dtype))
+    return spmm_ell(band_plan, B, 1.0, 0.0,
+                    jnp.zeros((band_plan.shape[0], B.shape[1]),
+                              band_plan.vals.dtype))
+
+
+def _band_matvec(kind: str, band_plan, x):
+    if kind == "bsr":
+        return spmv_bsr(band_plan, x, 1.0, 0.0,
+                        jnp.zeros(band_plan.shape[0], band_plan.vals.dtype))
+    return spmv_ell(band_plan, x, 1.0, 0.0,
+                    jnp.zeros(band_plan.shape[0], band_plan.vals.dtype))
+
+
+def _stream(hplan: HostResidentPlan, band_op):
+    """Run `band_op` over all bands with a bounded in-flight window.
+
+    Untuned mode pipelines host->HBM DMA of band i+_INFLIGHT-1 with the
+    compute of band i (JAX async dispatch does the overlap; the
+    block_until_ready pacing bounds resident HBM)."""
+    parts = []
+    pending = []
+    for i in range(hplan.n_bands):
+        dev_band = hplan.band_device(i)
+        parts.append(band_op(dev_band))
+        pending.append(parts[-1])
+        if len(pending) >= _INFLIGHT:
+            jax.block_until_ready(pending.pop(0))
+    return parts
+
+
+def spmm_um(hplan: HostResidentPlan, B, alpha, beta, C,
+            tuning: bool = False):
+    """C' = beta*C + alpha*A@B with A host-DRAM-resident.
+
+    Signature parity with the reference's sblas_spmm_csr UM variants
+    (spmm_um.h:167: trailing `tuning` selects prefetched residency)."""
+    if tuning:
+        hplan.apply_gpu_tuning()
+    parts = _stream(hplan, lambda band: _band_matmul(hplan.kind, band, B))
+    ab = jnp.concatenate(parts, axis=0)[: hplan.shape[0]]
+    return beta * C + alpha * ab
+
+
+def spmv_um(hplan: HostResidentPlan, x, alpha, beta, y,
+            tuning: bool = False):
+    """y' = beta*y + alpha*A@x with A host-DRAM-resident
+    (reference spmv_um.h:39,51-53)."""
+    if tuning:
+        hplan.apply_gpu_tuning()
+    parts = _stream(hplan, lambda band: _band_matvec(hplan.kind, band, x))
+    ax = jnp.concatenate(parts)[: hplan.shape[0]]
+    return beta * y + alpha * ax

@@ -69,31 +69,38 @@ class BsrPlan:
     def from_csr(cls, A: CsrMatrix, dtype=jnp.float32,
                  block: Tuple[int, int] = (128, 128),
                  config: SBlasConfig = DEFAULT) -> "BsrPlan":
-        R, C = block
-        stats = bell_stats(A, block)
-        n_brows, n_bcols, L = (stats["n_brows"], stats["n_bcols"],
-                               stats["slots"])
-        coo = A.to_coo()
-        brow = coo.row_idx // R
-        bcol = coo.col_idx // C
-        # rank blocks within each block-row (blocks sorted by (brow, bcol))
-        key = brow * n_bcols + bcol
-        order = np.argsort(key, kind="stable")
-        key_s = key[order]
-        uniq, inverse = np.unique(key_s, return_inverse=True)
-        u_brow = uniq // n_bcols
-        # slot of each unique block within its block-row
-        first_of_brow = np.searchsorted(u_brow, np.arange(n_brows))
-        slot_of_uniq = np.arange(len(uniq)) - first_of_brow[u_brow]
-        slot = np.empty(len(key), dtype=np.int64)
-        slot[order] = slot_of_uniq[inverse]
-
-        vals = np.zeros((n_brows, L, R, C), dtype=A.values.dtype)
-        bcol_arr = np.zeros((n_brows, L), dtype=np.int64)
-        vals[brow, slot, coo.row_idx % R, coo.col_idx % C] = coo.values
-        bcol_arr[u_brow, slot_of_uniq] = uniq % n_bcols
+        vals, bcol_arr = bell_arrays(A, block)
         return cls(jnp.asarray(vals, dtype), jnp.asarray(bcol_arr, jnp.int32),
-                   A.shape, A.nnz, (R, C))
+                   A.shape, A.nnz, block)
+
+
+def bell_arrays(A: CsrMatrix, block: Tuple[int, int] = (128, 128)):
+    """Block-ELL layout as host numpy arrays: (vals (n_brows,L,R,C),
+    bcol (n_brows,L)).  Numpy-pure so callers control placement."""
+    R, C = block
+    stats = bell_stats(A, block)
+    n_brows, n_bcols, L = (stats["n_brows"], stats["n_bcols"],
+                           stats["slots"])
+    coo = A.to_coo()
+    brow = coo.row_idx // R
+    bcol = coo.col_idx // C
+    # rank blocks within each block-row (blocks sorted by (brow, bcol))
+    key = brow * n_bcols + bcol
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq, inverse = np.unique(key_s, return_inverse=True)
+    u_brow = uniq // n_bcols
+    # slot of each unique block within its block-row
+    first_of_brow = np.searchsorted(u_brow, np.arange(n_brows))
+    slot_of_uniq = np.arange(len(uniq)) - first_of_brow[u_brow]
+    slot = np.empty(len(key), dtype=np.int64)
+    slot[order] = slot_of_uniq[inverse]
+
+    vals = np.zeros((n_brows, L, R, C), dtype=A.values.dtype)
+    bcol_arr = np.zeros((n_brows, L), dtype=np.int64)
+    vals[brow, slot, coo.row_idx % R, coo.col_idx % C] = coo.values
+    bcol_arr[u_brow, slot_of_uniq] = uniq % n_bcols
+    return vals, bcol_arr
 
 
 def bell_stats(A: CsrMatrix, block: Tuple[int, int] = (128, 128)) -> dict:

@@ -37,6 +37,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def ell_arrays(A: CsrMatrix):
+    """ELLPACK layout as host numpy arrays: (cols, vals), each (m_pad, L).
+
+    Kept numpy-pure so callers control placement (device HBM for single-chip
+    plans, pinned host for the UM-analog band streamer)."""
+    m, _ = A.shape
+    row_nnz = A.row_nnz
+    L = max(int(row_nnz.max()) if m else 1, 1)
+    m_pad = _round_up(max(m, 1), 8)
+    cols = np.zeros((m_pad, L), dtype=np.int64)
+    vals = np.zeros((m_pad, L), dtype=A.values.dtype)
+    # slot index of each nnz within its row: position - row start
+    slot = np.arange(A.nnz, dtype=np.int64) - np.repeat(
+        A.row_ptr[:-1], row_nnz)
+    row_of = np.repeat(np.arange(m, dtype=np.int64), row_nnz)
+    cols[row_of, slot] = A.col_idx
+    vals[row_of, slot] = A.values
+    return cols, vals
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["rows", "cols", "vals"],
          meta_fields=["shape", "nnz"])
@@ -93,18 +113,7 @@ class EllPlan:
     @classmethod
     def from_csr(cls, A: CsrMatrix, dtype=jnp.float32,
                  config: SBlasConfig = DEFAULT) -> "EllPlan":
-        m, _ = A.shape
-        row_nnz = A.row_nnz
-        L = max(int(row_nnz.max()) if m else 1, 1)
-        m_pad = _round_up(max(m, 1), 8)
-        cols = np.zeros((m_pad, L), dtype=np.int64)
-        vals = np.zeros((m_pad, L), dtype=A.values.dtype)
-        # slot index of each nnz within its row: position - row start
-        slot = np.arange(A.nnz, dtype=np.int64) - np.repeat(
-            A.row_ptr[:-1], row_nnz)
-        row_of = np.repeat(np.arange(m, dtype=np.int64), row_nnz)
-        cols[row_of, slot] = A.col_idx
-        vals[row_of, slot] = A.values
+        cols, vals = ell_arrays(A)
         return cls(jnp.asarray(cols, jnp.int32), jnp.asarray(vals, dtype),
                    A.shape, A.nnz)
 
