@@ -1,0 +1,168 @@
+"""Pallas block-sparse SpMM/SpMV: scalar-prefetched block gather on the MXU.
+
+The XLA BELL kernel (`bsr.py:bsr_matmul`) materializes a gathered copy of B
+per slot (`jnp.take(blocks, bcol[:, s])`) — an extra HBM round-trip of
+n_brows x (C x K) per slot.  Here the gather disappears into the grid: the
+block-column ids are scalar-prefetched, and each grid step's BlockSpec
+index_map DMAs exactly the (C, K) tile of B that slot needs, HBM -> VMEM,
+overlapped with the MXU by the Pallas pipeline.  Per step the MXU contracts
+a (R, C) value block against that tile at full width; the output block stays
+resident in VMEM across the slot loop, and the alpha/beta epilogue
+(reference: separate axpby kernel launch, kernel.h:27-38 via
+plusDenseMatrixGPU) is folded into the final slot.
+
+This is the TPU-native replacement for the reference's cuSPARSE SpMM
+delegation (spmm.h:146-149): where cuSPARSE scans CSR with warp gathers, we
+re-block to MXU geometry and let the scalar-prefetch pipeline do the
+"gather" as addressed DMA.
+
+On non-TPU backends (the CPU test mesh) the kernels run in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bsr import BsrPlan, _b_blocks
+
+
+def _interpret() -> bool:
+    """Pallas TPU kernels run interpreted on the CPU test mesh."""
+    return jax.default_backend() != "tpu"
+
+
+def _spmm_kernel(bcol_ref, vals_ref, b_ref, cin_ref, scale_ref, out_ref):
+    del bcol_ref  # consumed by the index maps
+    s = pl.program_id(1)
+    n_slots = pl.num_programs(1)
+    prod = jax.lax.dot_general(
+        vals_ref[0, 0], b_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=out_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:] = prod
+
+    @pl.when(s != 0)
+    def _():
+        out_ref[:] = out_ref[:] + prod
+
+    @pl.when(s == n_slots - 1)
+    def _():
+        out_ref[:] = scale_ref[1] * cin_ref[0] + scale_ref[0] * out_ref[:]
+
+
+@jax.jit
+def spmm_bsr_pallas(plan: BsrPlan, B: jax.Array, alpha, beta,
+                    C: jax.Array) -> jax.Array:
+    """C' = beta*C + alpha*A@B with A in BELL layout via the Pallas pipeline.
+
+    Same semantics as `bsr.spmm_bsr`: padding slots carry bcol=0 / vals=0
+    and contribute nothing.
+    """
+    n_brows, L, R, Cb = plan.vals.shape
+    m, _ = plan.shape
+    k = B.shape[1]
+    dtype = plan.vals.dtype
+
+    blocks = _b_blocks(plan, B.astype(dtype))        # (n_bcols, Cb, k)
+    m_pad = n_brows * R
+    C_pad = jnp.pad(C.astype(dtype), ((0, m_pad - m), (0, 0)))
+    C_blocks = C_pad.reshape(n_brows, R, k)
+    scale = jnp.asarray([alpha, beta], dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # bcol: (n_brows, L) int32
+        grid=(n_brows, L),
+        in_specs=[
+            pl.BlockSpec((1, 1, R, Cb), lambda i, s, bcol: (i, s, 0, 0)),
+            pl.BlockSpec((1, Cb, k), lambda i, s, bcol: (bcol[i, s], 0, 0)),
+            pl.BlockSpec((1, R, k), lambda i, s, bcol: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # (2,) alpha/beta
+        ],
+        out_specs=pl.BlockSpec((R, k), lambda i, s, bcol: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, k), dtype),
+        interpret=_interpret(),
+    )(plan.bcol, plan.vals, blocks, C_blocks, scale)
+    return out[:m]
+
+
+_SPMV_GROUP = 8  # block-rows per grid step (sublane tile of the out block)
+
+
+def _spmv_kernel(bcol_ref, vals_ref, x_ref, yin_ref, scale_ref, out_ref):
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    n_slots = pl.num_programs(1)
+    # One (R, Cb) block per grouped block-row; x rows fetched from the
+    # VMEM-resident x by the prefetched block-column id.  The multiply is a
+    # VPU broadcast-reduce: a matmul would waste 127/128 of the MXU on a
+    # single vector.
+    for j in range(_SPMV_GROUP):
+        xrow = x_ref[bcol_ref[i * _SPMV_GROUP + j, s], :]
+        prod = jnp.sum(vals_ref[j, 0] * xrow[None, :], axis=1)
+
+        @pl.when(s == 0)
+        def _(j=j, prod=prod):
+            out_ref[0, j, :] = prod
+
+        @pl.when(s != 0)
+        def _(j=j, prod=prod):
+            out_ref[0, j, :] = out_ref[0, j, :] + prod
+
+    @pl.when(s == n_slots - 1)
+    def _():
+        out_ref[:] = scale_ref[1] * yin_ref[:] + scale_ref[0] * out_ref[:]
+
+
+@jax.jit
+def spmv_bsr_pallas(plan: BsrPlan, x: jax.Array, alpha, beta,
+                    y: jax.Array) -> jax.Array:
+    """y' = beta*y + alpha*A@x with A in BELL layout via the Pallas pipeline.
+
+    x lives whole in VMEM (fine up to a few M columns); block-rows are
+    processed in groups of 8 so the (group, R) output block meets the
+    (8, 128) tile floor.
+    """
+    n_brows, L, R, Cb = plan.vals.shape
+    m, n = plan.shape
+    dtype = plan.vals.dtype
+    G = _SPMV_GROUP
+
+    nb_pad = ((n_brows + G - 1) // G) * G
+    vals = jnp.pad(plan.vals, ((0, nb_pad - n_brows), (0, 0), (0, 0), (0, 0)))
+    bcol = jnp.pad(plan.bcol, ((0, nb_pad - n_brows), (0, 0)))
+    n_pad = ((n + Cb - 1) // Cb) * Cb
+    x_blocks = jnp.pad(x.astype(dtype), (0, n_pad - n)).reshape(-1, Cb)
+    m_pad = nb_pad * R
+    y_blocks = jnp.pad(y.astype(dtype),
+                       (0, m_pad - m)).reshape(nb_pad // G, G, R)
+    scale = jnp.asarray([alpha, beta], dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_pad // G, L),
+        in_specs=[
+            pl.BlockSpec((G, 1, R, Cb), lambda i, s, bcol: (i, s, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full x, VMEM-resident
+            pl.BlockSpec((1, G, R), lambda i, s, bcol: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, R), lambda i, s, bcol: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _spmv_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb_pad // G, G, R), dtype),
+        interpret=_interpret(),
+    )(bcol, vals, x_blocks, y_blocks, scale)
+    return out.reshape(-1)[:m]
