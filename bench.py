@@ -87,7 +87,7 @@ def main() -> int:
     yw = jnp.asarray(
         DenseVector.constant(W.height, 1.0, dtype=np.float32).values)
     wbase = CooPlan.from_csr(W, dtype=jnp.float32)
-    wbest = make_plan(W, dtype=jnp.float32)
+    wbest = make_plan(W, dtype=jnp.float32, op="spmv")
     assert_equal(
         np.asarray(spmv(wbest, xw0, 1.0, 1.0, yw)),
         spmv_cpu(W, DenseVector(np.asarray(xw0)), 1.0, 1.0,

@@ -61,7 +61,7 @@ def main(argv=None) -> int:
             print(f"halo widths: {blocks.halo_left}/{blocks.halo_right} "
                   f"(block {blocks.rows_per_shard})")
         else:
-            plan = make_plan(A, dtype=jnp_dtype)
+            plan = make_plan(A, dtype=jnp_dtype, op="spmv")
     print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, {n} device(s), "
           f"mode {mode}")
 

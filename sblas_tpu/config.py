@@ -60,6 +60,12 @@ class SBlasConfig:
     # Block geometry for the BELL layout (MXU tile by default).
     bsr_block: tuple = (MXU_DIM, MXU_DIM)
 
+    # Diagonal (DIA) guard for SpMV planning: occupied-diagonal count cap
+    # (the per-diagonal slice loop unrolls at trace time) and storage
+    # blowup cap (n_diags * m / nnz).
+    dia_max_diags: int = 512
+    dia_blowup_limit: float = 3.0
+
     @staticmethod
     def from_env() -> "SBlasConfig":
         def _f(name: str, default: float) -> float:
@@ -78,6 +84,8 @@ class SBlasConfig:
             bsr_blowup_limit=_f("SBLAS_BSR_BLOWUP_LIMIT", 16.0),
             bsr_block=(_i("SBLAS_BSR_BLOCK_R", MXU_DIM),
                        _i("SBLAS_BSR_BLOCK_C", MXU_DIM)),
+            dia_max_diags=_i("SBLAS_DIA_MAX_DIAGS", 512),
+            dia_blowup_limit=_f("SBLAS_DIA_BLOWUP_LIMIT", 3.0),
         )
 
 

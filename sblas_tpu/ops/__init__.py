@@ -11,6 +11,7 @@ Three device layouts, chosen by `make_plan`:
 from . import cpu_reference  # noqa: F401
 from .bsr import BsrPlan, bell_stats, spmm_bsr, spmv_bsr  # noqa: F401
 from .bsr_pallas import spmm_bsr_pallas, spmv_bsr_pallas  # noqa: F401
+from .dia import DiaPlan, dia_stats, spmm_dia, spmv_dia  # noqa: F401
 from .elementwise import axpby, plus_scalar  # noqa: F401
 from .plans import CooPlan, EllPlan  # noqa: F401
 from .spmm import spmm_coo, spmm_ell  # noqa: F401
@@ -31,18 +32,24 @@ _WCOO_FILL_LIMIT = 8.0
 _BSR_PALLAS_MIN_K = 256
 
 
-def make_plan(A, dtype=None, config=DEFAULT, force=None):
+def make_plan(A, dtype=None, config=DEFAULT, force=None, op=None):
     """Choose the best single-chip layout for CSR matrix `A`.
 
-    Heuristic order: BSR (MXU blocks) when the structure is block-friendly,
-    ELL when rows are balanced, windowed-COO otherwise (gather/scatter-free
-    unstructured path), plain COO as the universal fallback.  `force` in
-    {"bsr", "ell", "wcoo", "coo"} overrides."""
+    Heuristic order: DIA (shift-and-FMA, SpMV planning only) when the
+    matrix is banded, BSR (MXU blocks) when the structure is
+    block-friendly, ELL when rows are balanced, windowed-COO otherwise
+    (gather/scatter-free unstructured path), plain COO as the universal
+    fallback.  `force` in {"dia", "bsr", "ell", "wcoo", "coo"} overrides;
+    `op` in {None, "spmv", "spmm"} biases the choice toward that kernel
+    (DIA wins SpMV on banded structure but re-reads B per diagonal in
+    SpMM, so it is never auto-chosen for mixed use)."""
     import jax.numpy as jnp
     dtype = dtype or jnp.float32
     kind = force
     if kind is None:
-        if bell_stats(A, config.bsr_block)["blowup"] <= config.bsr_blowup_limit:
+        if op == "spmv" and DiaPlan.is_profitable(A, config):
+            kind = "dia"
+        elif bell_stats(A, config.bsr_block)["blowup"] <= config.bsr_blowup_limit:
             kind = "bsr"
         elif EllPlan.is_profitable(A, config):
             kind = "ell"
@@ -51,6 +58,8 @@ def make_plan(A, dtype=None, config=DEFAULT, force=None):
             if plan.fill_ratio <= _WCOO_FILL_LIMIT:
                 return plan
             kind = "coo"
+    if kind == "dia":
+        return DiaPlan.from_csr(A, dtype=dtype, config=config)
     if kind == "bsr":
         return BsrPlan.from_csr(A, dtype=dtype, block=config.bsr_block,
                                 config=config)
@@ -72,6 +81,8 @@ def spmv(plan, x, alpha=1.0, beta=1.0, y=None):
     if y is None:
         y = jnp.zeros(plan.shape[0], dtype=plan.vals.dtype)
         beta = 0.0
+    if isinstance(plan, DiaPlan):
+        return spmv_dia(plan, x, alpha, beta, y)
     if isinstance(plan, BsrPlan):
         return spmv_bsr(plan, x, alpha, beta, y)
     if isinstance(plan, WcooPlan):
@@ -88,6 +99,8 @@ def spmm(plan, B, alpha=1.0, beta=1.0, C=None):
     if C is None:
         C = jnp.zeros((plan.shape[0], B.shape[1]), dtype=plan.vals.dtype)
         beta = 0.0
+    if isinstance(plan, DiaPlan):
+        return spmm_dia(plan, B, alpha, beta, C)
     if isinstance(plan, BsrPlan):
         import jax
         if (B.shape[1] >= _BSR_PALLAS_MIN_K
