@@ -66,6 +66,12 @@ class SBlasConfig:
     dia_max_diags: int = 512
     dia_blowup_limit: float = 3.0
 
+    # Routed-SpMV guards: minimum problem size for the three-stage routed
+    # engine (plan-time edge coloring costs seconds; slab buckets need a
+    # wide x to fill).
+    routed_min_nnz: int = 262_144
+    routed_min_width: int = 65_536
+
     @staticmethod
     def from_env() -> "SBlasConfig":
         def _f(name: str, default: float) -> float:
@@ -86,6 +92,8 @@ class SBlasConfig:
                        _i("SBLAS_BSR_BLOCK_C", MXU_DIM)),
             dia_max_diags=_i("SBLAS_DIA_MAX_DIAGS", 512),
             dia_blowup_limit=_f("SBLAS_DIA_BLOWUP_LIMIT", 3.0),
+            routed_min_nnz=_i("SBLAS_ROUTED_MIN_NNZ", 262_144),
+            routed_min_width=_i("SBLAS_ROUTED_MIN_WIDTH", 65_536),
         )
 
 

@@ -51,8 +51,36 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.sblas_mtx_count_lines.restype = ctypes.c_int64
     lib.sblas_mtx_count_lines.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.sblas_edge_color.restype = ctypes.c_int
+    lib.sblas_edge_color.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return _lib
+
+
+def edge_color(src: np.ndarray, dst: np.ndarray, n_left: int, n_right: int,
+               d: int) -> np.ndarray:
+    """Color a d-regular bipartite multigraph with d colors (native/route.cpp).
+
+    Raises RuntimeError when the native library is unavailable or the input
+    is not d-regular (caller may fall back to the pure-python path)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native edge coloring unavailable")
+    src32 = np.ascontiguousarray(src, dtype=np.int32)
+    dst32 = np.ascontiguousarray(dst, dtype=np.int32)
+    out = np.empty(len(src32), dtype=np.int32)
+    rc = lib.sblas_edge_color(
+        n_left, n_right, len(src32), d,
+        src32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise RuntimeError(f"native edge coloring failed with code {rc}")
+    return out
 
 
 def available() -> bool:

@@ -14,6 +14,7 @@ from .bsr_pallas import spmm_bsr_pallas, spmv_bsr_pallas  # noqa: F401
 from .dia import DiaPlan, dia_stats, spmm_dia, spmv_dia  # noqa: F401
 from .elementwise import axpby, plus_scalar  # noqa: F401
 from .plans import CooPlan, EllPlan  # noqa: F401
+from .rspmv import RoutedPlan, spmv_routed  # noqa: F401
 from .spmm import spmm_coo, spmm_ell  # noqa: F401
 from .spmv import spmv_coo, spmv_ell  # noqa: F401
 from .wcoo import WcooPlan, spmm_wcoo, spmv_wcoo  # noqa: F401
@@ -36,19 +37,23 @@ def make_plan(A, dtype=None, config=DEFAULT, force=None, op=None):
     """Choose the best single-chip layout for CSR matrix `A`.
 
     Heuristic order: DIA (shift-and-FMA, SpMV planning only) when the
-    matrix is banded, BSR (MXU blocks) when the structure is
-    block-friendly, ELL when rows are balanced, windowed-COO otherwise
-    (gather/scatter-free unstructured path), plain COO as the universal
-    fallback.  `force` in {"dia", "bsr", "ell", "wcoo", "coo"} overrides;
-    `op` in {None, "spmv", "spmm"} biases the choice toward that kernel
-    (DIA wins SpMV on banded structure but re-reads B per diagonal in
-    SpMM, so it is never auto-chosen for mixed use)."""
+    matrix is banded, routed (three-stage gather/route/stack engine, SpMV
+    planning only) for large unstructured matrices, BSR (MXU blocks) when
+    the structure is block-friendly, ELL when rows are balanced,
+    windowed-COO otherwise, plain COO as the universal fallback.  `force`
+    in {"dia", "routed", "bsr", "ell", "wcoo", "coo"} overrides; `op` in
+    {None, "spmv", "spmm"} biases the choice toward that kernel (DIA and
+    routed are SpMV-shaped and never auto-chosen for mixed use)."""
     import jax.numpy as jnp
     dtype = dtype or jnp.float32
     kind = force
     if kind is None:
         if op == "spmv" and DiaPlan.is_profitable(A, config):
             kind = "dia"
+        elif (op == "spmv" and RoutedPlan.is_profitable(A, config)
+              and bell_stats(A, config.bsr_block)["blowup"]
+              > config.bsr_blowup_limit):
+            kind = "routed"
         elif bell_stats(A, config.bsr_block)["blowup"] <= config.bsr_blowup_limit:
             kind = "bsr"
         elif EllPlan.is_profitable(A, config):
@@ -60,6 +65,8 @@ def make_plan(A, dtype=None, config=DEFAULT, force=None, op=None):
             kind = "coo"
     if kind == "dia":
         return DiaPlan.from_csr(A, dtype=dtype, config=config)
+    if kind == "routed":
+        return RoutedPlan.from_csr(A, dtype=dtype, config=config)
     if kind == "bsr":
         return BsrPlan.from_csr(A, dtype=dtype, block=config.bsr_block,
                                 config=config)
@@ -83,6 +90,8 @@ def spmv(plan, x, alpha=1.0, beta=1.0, y=None):
         beta = 0.0
     if isinstance(plan, DiaPlan):
         return spmv_dia(plan, x, alpha, beta, y)
+    if isinstance(plan, RoutedPlan):
+        return spmv_routed(plan, x, alpha, beta, y)
     if isinstance(plan, BsrPlan):
         return spmv_bsr(plan, x, alpha, beta, y)
     if isinstance(plan, WcooPlan):

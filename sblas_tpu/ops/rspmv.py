@@ -1,0 +1,260 @@
+"""Routed SpMV: gather/scatter-free unstructured SpMV at VPU speed.
+
+The TPU-native answer to what the reference delegates to cuSPARSE for
+irregular matrices (spmv.h:104-106).  XLA's elementwise gather runs at
+~2.3 ns/element, capping gather+segment_sum SpMV at ~0.4 Gnnz/s; every
+stage here replaces per-element addressing with vectorized primitives:
+
+1. **Slab-bucket gather (Pallas, VPU dynamic lane gather).**  x is viewed
+   as (n/16384) slabs of (128, 128).  Nonzeros are grouped per slab and
+   bucketed by sublane (`(col % 16384) // 128`), so a (128, 128) tile
+   fetches all its x values with ONE `take_along_axis(axis=1)` from the
+   slab tile that a scalar-prefetched index map DMA'd into VMEM — the only
+   dynamic-gather form Mosaic lowers, and it runs at vector speed.
+   Measured: 0.08 ms for 3.1M nnz (vs 7 ms for the XLA block gather).
+
+2. **Routed permutation (ops/route.py).**  Contributions move from gather
+   order to reduce order through the Clos/Beneš layer program — lane
+   shuffles + transposes with plan-time tables (bipartite edge coloring,
+   native/route.cpp).  Measured: 4M elements in ~0.35 ms vs 27 ms for
+   XLA's elementwise permute.
+
+3. **Lane-stack reduce.**  Rows are relabeled by descending degree so
+   blocks of 128 consecutive ranks have near-uniform degrees.  Row with
+   rank r' owns lane r' % 128 of block r' // 128; its contributions are
+   routed to stack vertically in that lane.  The reduce is then one
+   *row-granular* sorted `segment_sum` over the (S, 128) stack — no
+   one-hot, no scatter (an earlier one-hot MXU window reduce cost 2.7 ms;
+   this is ~0.2 ms).  A second, m-sized routed permutation un-relabels y.
+
+Planning cost is real (edge coloring over ~nnz edges — seconds for
+million-scale matrices): this is an analysis-heavy plan in the cuSPARSE
+`*_analysis` / FFTW-plan tradition — build once, run many.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ..config import DEFAULT, SBlasConfig
+from ..containers import CsrMatrix
+from .route import LANES, apply_route, build_route, routable_size
+
+SLAB = 128 * 128     # x window served by one gather tile
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Plan
+# ---------------------------------------------------------------------------
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["gslab", "gidx", "gvals", "tables", "brow_ids",
+                      "unrank_tables"],
+         meta_fields=["schedule", "unrank_schedule", "shape", "nnz",
+                      "n_gtiles", "n_srows", "n_blocks", "route_n",
+                      "unrank_n"])
+@dataclasses.dataclass(frozen=True)
+class RoutedPlan:
+    """Plan for the three-stage routed SpMV (see module docstring).
+
+    gslab: (T_g,) i32        x-slab id per gather tile
+    gidx:  (T_g,128,128) i32 in-slab lane per slot (pads 0)
+    gvals: (T_g,128,128)     values per slot (pads 0)
+    tables / schedule        route layers: gather order -> lane stack
+    brow_ids: (S,) i32       block id per stack sublane row (sorted)
+    unrank_tables / unrank_schedule  route layers: rank order -> row order
+    """
+
+    gslab: jax.Array
+    gidx: jax.Array
+    gvals: jax.Array
+    tables: Tuple
+    brow_ids: jax.Array
+    unrank_tables: Tuple
+    schedule: Tuple
+    unrank_schedule: Tuple
+    shape: Tuple[int, int]
+    nnz: int
+    n_gtiles: int
+    n_srows: int
+    n_blocks: int
+    route_n: int
+    unrank_n: int
+
+    @property
+    def gather_fill(self) -> float:
+        return self.n_gtiles * SLAB / max(self.nnz, 1)
+
+    @property
+    def stack_fill(self) -> float:
+        return self.n_srows * LANES / max(self.nnz, 1)
+
+    @classmethod
+    def from_csr(cls, A: CsrMatrix, dtype=jnp.float32,
+                 config: SBlasConfig = DEFAULT) -> "RoutedPlan":
+        m, n = A.shape
+        coo = A.to_coo()  # CSR order (rows ascending)
+        nnz = A.nnz
+        rows = coo.row_idx.astype(np.int64)
+        cols = coo.col_idx.astype(np.int64)
+
+        # ---- gather tiling: per (slab, bucket) runs of <= 128 lanes ----
+        slab = cols // SLAB
+        bucket = (cols % SLAB) // LANES
+        lane = (cols % LANES).astype(np.int32)
+        key = (slab * LANES + bucket).astype(np.int32)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        pos = (np.arange(nnz, dtype=np.int64)
+               - np.searchsorted(key_s, key_s, side="left"))
+        n_slabs = int(slab.max(initial=0)) + 1 if nnz else 1
+        counts = np.bincount(key_s, minlength=n_slabs * LANES)
+        tiles_per_slab = np.maximum(
+            -(-counts.reshape(n_slabs, LANES).max(axis=1) // LANES), 1)
+        tile_base = np.concatenate(
+            [[0], np.cumsum(tiles_per_slab)]).astype(np.int64)
+        T_g = int(tile_base[-1])
+        tile_of = tile_base[key_s // LANES] + pos // LANES
+        gslot_s = tile_of * SLAB + (key_s % LANES) * LANES + pos % LANES
+        gslot = np.empty(nnz, dtype=np.int64)
+        gslot[order] = gslot_s
+
+        gidx = np.zeros(T_g * SLAB, dtype=np.int32)
+        gvals = np.zeros(T_g * SLAB, dtype=np.float64)
+        gidx[gslot.astype(np.int32)] = lane
+        gvals[gslot] = coo.values
+        gslab_arr = np.repeat(
+            np.arange(n_slabs, dtype=np.int32), tiles_per_slab)
+
+        # ---- reduce layout: degree-sorted lane stack ----
+        deg = A.row_nnz.astype(np.int64)
+        rank_order = np.argsort(-deg, kind="stable")  # rows by deg desc
+        rank = np.empty(m, dtype=np.int64)
+        rank[rank_order] = np.arange(m)
+        m_pad = _round_up(max(m, 1), LANES)
+        n_blocks = m_pad // LANES
+        # per-block depth = max degree among its 128 ranks (>= 1)
+        deg_pad = np.zeros(m_pad, dtype=np.int64)
+        deg_pad[:m] = deg[rank_order]
+        depth = np.maximum(deg_pad.reshape(n_blocks, LANES).max(axis=1), 1)
+        off = np.concatenate([[0], np.cumsum(depth)])
+        S = int(off[-1])
+        # nnz slot: j-th entry of row r (CSR position - row start) stacks at
+        # sublane off[block] + j, lane rank % 128
+        j_in_row = np.arange(nnz, dtype=np.int64) - np.repeat(
+            A.row_ptr[:-1], A.row_nnz)
+        rk = rank[rows]
+        rslot = (off[rk // LANES] + j_in_row) * LANES + rk % LANES
+        brow_ids = np.repeat(np.arange(n_blocks, dtype=np.int32),
+                             depth.astype(np.int64))
+
+        # ---- route 1: gather order -> lane-stack order ----
+        N = routable_size(max(T_g * SLAB, S * LANES))
+        perm = np.full(N, -1, dtype=np.int64)
+        perm[rslot] = gslot
+        src_used = np.zeros(N, dtype=bool)
+        src_used[gslot] = True
+        perm[perm < 0] = np.flatnonzero(~src_used)
+        prog = build_route(perm)
+
+        # ---- route 2: rank order -> row order (un-relabel y) ----
+        N2 = routable_size(m_pad)
+        assert N2 >= m_pad
+        perm2 = np.concatenate([rank, np.arange(m, N2, dtype=np.int64)])
+        prog2 = build_route(perm2)
+
+        def _tables(pr):
+            return tuple(jnp.asarray(op[1]) for op in pr.ops
+                         if op[0] in ("gather", "mix"))
+
+        return cls(
+            gslab=jnp.asarray(gslab_arr),
+            gidx=jnp.asarray(gidx.reshape(T_g, LANES, LANES)),
+            gvals=jnp.asarray(gvals.reshape(T_g, LANES, LANES), dtype),
+            tables=_tables(prog),
+            brow_ids=jnp.asarray(brow_ids),
+            unrank_tables=_tables(prog2),
+            schedule=prog.schedule,
+            unrank_schedule=prog2.schedule,
+            shape=A.shape, nnz=nnz, n_gtiles=T_g, n_srows=S,
+            n_blocks=n_blocks, route_n=prog.n, unrank_n=prog2.n)
+
+    @classmethod
+    def is_profitable(cls, A: CsrMatrix,
+                      config: SBlasConfig = DEFAULT) -> bool:
+        """Routing pays off for large unstructured matrices: enough nnz to
+        amortize the fixed stage costs and a wide enough x for the slab
+        buckets to fill."""
+        return (A.nnz >= config.routed_min_nnz
+                and A.shape[1] >= config.routed_min_width)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _gather_kernel(gslab_ref, slab_ref, idx_ref, vals_ref, out_ref):
+    del gslab_ref  # consumed by the slab index map
+    picked = jnp.take_along_axis(slab_ref[0], idx_ref[0], axis=1)
+    out_ref[0] = vals_ref[0] * picked
+
+
+def _gathered_contrib(plan: RoutedPlan, x: jax.Array) -> jax.Array:
+    """(T_g*SLAB,) contributions vals[i]*x[col[i]] in gather order."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = plan.shape[1]
+    n_slabs = _round_up(n, SLAB) // SLAB
+    x_slabs = jnp.pad(x, (0, n_slabs * SLAB - n)).reshape(
+        n_slabs, LANES, LANES)
+    T_g = plan.n_gtiles
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # gslab
+        grid=(T_g,),
+        in_specs=[
+            pl.BlockSpec((1, LANES, LANES), lambda t, gs: (gs[t], 0, 0)),
+            pl.BlockSpec((1, LANES, LANES), lambda t, gs: (t, 0, 0)),
+            pl.BlockSpec((1, LANES, LANES), lambda t, gs: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, LANES, LANES), lambda t, gs: (t, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_g, LANES, LANES), x_slabs.dtype),
+        interpret=_interpret(),
+    )(plan.gslab, x_slabs, plan.gidx, plan.gvals.astype(x_slabs.dtype))
+    return out.reshape(-1)
+
+
+@jax.jit
+def spmv_routed(plan: RoutedPlan, x: jax.Array, alpha, beta,
+                y: jax.Array) -> jax.Array:
+    m = plan.shape[0]
+    contrib = _gathered_contrib(plan, x)
+    contrib = jnp.pad(contrib, (0, plan.route_n - contrib.shape[0]))
+    routed = apply_route(plan.schedule, contrib, plan.tables)
+    stack = routed[: plan.n_srows * LANES].reshape(plan.n_srows, LANES)
+    blocks = jax.ops.segment_sum(stack, plan.brow_ids,
+                                 num_segments=plan.n_blocks,
+                                 indices_are_sorted=True)
+    y_rank = blocks.reshape(-1)  # (m_pad,) in rank order
+    y_rank = jnp.pad(y_rank, (0, plan.unrank_n - y_rank.shape[0]))
+    ax = apply_route(plan.unrank_schedule, y_rank, plan.unrank_tables)[:m]
+    return beta * y + alpha * ax

@@ -1,0 +1,76 @@
+"""Routed static permutations: edge coloring, layer programs, executors."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sblas_tpu.ops.route import (apply_route, apply_route_np, build_route,
+                                 edge_color, routable_size,
+                                 route_tables_device, _edge_color_py)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def _regular_multigraph(rng, n_nodes, d):
+    """d-regular bipartite multigraph: d stacked random perfect matchings."""
+    src = np.repeat(np.arange(n_nodes), d)
+    dst = np.concatenate([rng.permutation(n_nodes) for _ in range(d)])
+    order = np.argsort(src, kind="stable")
+    return src[order].astype(np.int32), dst[order].astype(np.int32)
+
+
+@pytest.mark.parametrize("n_nodes,d", [(4, 2), (16, 8), (100, 128)])
+def test_edge_coloring_is_proper(rng, n_nodes, d):
+    src, dst = _regular_multigraph(rng, n_nodes, d)
+    colors = edge_color(src, dst, n_nodes, n_nodes, d)
+    # proper: each (node, color) pair exactly once on both sides
+    assert len(np.unique(src.astype(np.int64) * d + colors)) == n_nodes * d
+    assert len(np.unique(dst.astype(np.int64) * d + colors)) == n_nodes * d
+    assert colors.min() >= 0 and colors.max() < d
+
+
+def test_python_fallback_matches_properties(rng):
+    src, dst = _regular_multigraph(rng, 8, 4)
+    colors = _edge_color_py(src, dst, 8, 8, 4)
+    assert len(np.unique(src * 4 + colors)) == 32
+    assert len(np.unique(dst * 4 + colors)) == 32
+
+
+def test_routable_size():
+    assert routable_size(1) == 128
+    assert routable_size(128) == 128
+    assert routable_size(129) == 256
+    assert routable_size(3_600_000) == 4_194_304
+
+
+@pytest.mark.parametrize("n", [5, 128, 300, 16384, 40000, 262144])
+def test_route_numpy_executor(rng, n):
+    perm = rng.permutation(n)
+    prog = build_route(perm)
+    x = rng.random(n).astype(np.float32)
+    assert np.array_equal(apply_route_np(prog, x), x[perm])
+
+
+@pytest.mark.parametrize("n", [128, 300, 16384, 50000])
+def test_route_device_executor(rng, n):
+    """Device executor (Pallas interpret mode on the CPU mesh) matches."""
+    perm = rng.permutation(n)
+    prog = build_route(perm)
+    tables = route_tables_device(prog)
+    x = rng.random(n).astype(np.float64)
+    x_pad = jnp.asarray(np.pad(x, (0, prog.n - n)))
+    got = np.asarray(apply_route(prog.schedule, x_pad, tables))[:n]
+    assert np.array_equal(got, x[perm])
+
+
+def test_route_identity_and_reversal(rng):
+    n = 4096
+    prog = build_route(np.arange(n))
+    x = rng.random(n).astype(np.float32)
+    assert np.array_equal(apply_route_np(prog, x), x)
+    prog_r = build_route(np.arange(n)[::-1].copy())
+    assert np.array_equal(apply_route_np(prog_r, x), x[::-1])

@@ -1,0 +1,78 @@
+"""Routed SpMV engine: plan construction, correctness vs CPU oracle,
+planning heuristics.  Sizes kept moderate — plan-time edge coloring is
+O(nnz log 128)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sblas_tpu.config import SBlasConfig
+from sblas_tpu.containers import DenseVector
+from sblas_tpu.io.generate import (adversarial_skew, fem_banded_like,
+                                   uniform_random, webbase_like)
+from sblas_tpu.ops import make_plan, spmv
+from sblas_tpu.ops.cpu_reference import spmv_cpu
+from sblas_tpu.ops.dia import DiaPlan
+from sblas_tpu.ops.rspmv import RoutedPlan, spmv_routed
+from sblas_tpu.utils.verify import assert_equal
+
+
+def _check(A, alpha=3.0, beta=4.0):
+    plan = RoutedPlan.from_csr(A, dtype=jnp.float64)
+    x = DenseVector.random(A.width)
+    y = DenseVector.constant(A.height, 1.0)
+    got = spmv_routed(plan, jnp.asarray(x.values), alpha, beta,
+                      jnp.asarray(y.values))
+    assert_equal(np.asarray(got), spmv_cpu(A, x, alpha, beta, y))
+    return plan
+
+
+def test_powerlaw():
+    plan = _check(webbase_like(n=60000, avg_deg=3.0))
+    assert plan.stack_fill < 4.0
+
+
+def test_uniform_wide():
+    _check(uniform_random(2000, 100000, 4, seed=2))
+
+
+def test_tall_narrow():
+    _check(uniform_random(100000, 30000, 2, seed=5))
+
+
+def test_adversarial_row_skew():
+    """A handful of 2048-nnz rows among 2-nnz rows: the degree-sorted
+    lane stack must stay correct (fill degrades, correctness must not)."""
+    _check(adversarial_skew())
+
+
+def test_alpha_beta_variants():
+    A = uniform_random(5000, 70000, 3, seed=9)
+    _check(A, alpha=1.0, beta=0.0)
+    _check(A, alpha=-2.5, beta=1.5)
+
+
+def test_make_plan_heuristic():
+    big = webbase_like(n=70000, avg_deg=4.0)
+    cfg = SBlasConfig(routed_min_nnz=1000, routed_min_width=1000)
+    plan = make_plan(big, op="spmv", config=cfg, dtype=jnp.float64)
+    assert isinstance(plan, RoutedPlan)
+    # not for mixed / spmm use
+    assert not isinstance(make_plan(big, config=cfg), RoutedPlan)
+    # banded matrices keep the DIA path even when routed would qualify
+    banded = fem_banded_like(n=2000, half_band=4)
+    assert isinstance(make_plan(banded, op="spmv", config=cfg), DiaPlan)
+    # default thresholds reject small matrices
+    small = uniform_random(500, 500, 3, seed=1)
+    assert not RoutedPlan.is_profitable(small)
+
+
+def test_dispatch_via_generic_spmv():
+    A = webbase_like(n=70000, avg_deg=3.0)
+    cfg = SBlasConfig(routed_min_nnz=1000, routed_min_width=1000)
+    plan = make_plan(A, op="spmv", config=cfg, dtype=jnp.float64)
+    assert isinstance(plan, RoutedPlan)
+    x = DenseVector.random(A.width)
+    y = DenseVector.constant(A.height, 1.0)
+    got = spmv(plan, jnp.asarray(x.values), 2.0, 3.0, jnp.asarray(y.values))
+    assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))
