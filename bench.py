@@ -1,17 +1,18 @@
 #!/usr/bin/env python3
 """Headline benchmark.  Prints ONE JSON line on stdout:
 
-    {"metric": "spmm_k64_gflops", "value": N, "unit": "GFLOP/s",
-     "vs_baseline": R}
+    {"metric": "ref_workloads_geomean_speedup", "value": N, "unit": "x",
+     "vs_baseline": N}
 
-Workload: CSR SpMM, K=64, on the s3dkq4m2-structure proxy (the reference's
-SpMM benchmark matrix, profiling.sh:6; synthesized here because the
-environment has no network egress — same n=90449, banded FEM structure,
-~6.6M nnz).  `value` is the best single-chip path's steady-state GFLOP/s on
-the real TPU; `vs_baseline` is the speedup over the framework's Tier-0 path
-(plain COO gather + segment_sum under jit — the faithful translation of
-what the reference delegates to cuSPARSE), since the reference publishes no
-absolute numbers (BASELINE.md).
+Covers BOTH of the reference's benchmark workloads (profiling.sh:6-21):
+CSR SpMM K=64 on the s3dkq4m2-structure proxy (n=90449 banded FEM, ~6.6M
+nnz) and CSR SpMV on the webbase-1M proxy (1M rows, power-law, ~3.1M nnz)
+— synthesized because the environment has no network egress.  `value` is
+the geometric mean of the two speedups of the best planned path over the
+framework's Tier-0 path (plain COO gather + segment_sum under jit — the
+faithful translation of what the reference delegates to cuSPARSE), since
+the reference publishes no absolute numbers (BASELINE.md).  Absolute
+GFLOP/s / nnz/s per workload go to stderr.
 
 Timing runs K iterations inside one jitted fori_loop with the carry
 threaded through the op inputs (see sblas_tpu/utils/benchtime.py — the
@@ -106,11 +107,15 @@ def main() -> int:
           f"[{type(wbest).__name__}] {nnz_per_s(W.nnz, ms_wbest):.3e} nnz/s "
           f"({ms_wbest:.3f} ms)", file=sys.stderr)
 
+    geomean = float(np.sqrt((ms_base / ms_best) * (ms_wb / ms_wbest)))
+    print(f"# spmm speedup {ms_base/ms_best:.1f}x, spmv speedup "
+          f"{ms_wb/ms_wbest:.1f}x, spmm {g_best:.1f} GFLOP/s, spmv "
+          f"{nnz_per_s(W.nnz, ms_wbest):.3e} nnz/s", file=sys.stderr)
     print(json.dumps({
-        "metric": "spmm_k64_gflops",
-        "value": round(g_best, 3),
-        "unit": "GFLOP/s",
-        "vs_baseline": round(ms_base / ms_best, 4),
+        "metric": "ref_workloads_geomean_speedup",
+        "value": round(geomean, 3),
+        "unit": "x",
+        "vs_baseline": round(geomean, 4),
     }))
     return 0
 
