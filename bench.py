@@ -26,6 +26,7 @@ number is reported.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -88,7 +89,16 @@ def main() -> int:
     yw = jnp.asarray(
         DenseVector.constant(W.height, 1.0, dtype=np.float32).values)
     wbase = CooPlan.from_csr(W, dtype=jnp.float32)
-    wbest = make_plan(W, dtype=jnp.float32, op="spmv")
+    # plan cache: the routed plan's analysis (edge coloring over ~nnz
+    # edges) costs ~18 s on this host; persist it like FFTW wisdom
+    from sblas_tpu.io.plancache import load_plan, save_plan
+    cache = os.path.join(".bench_cache", "webbase_spmv_f32.npz")
+    if os.path.exists(cache):
+        wbest = load_plan(cache)
+    else:
+        wbest = make_plan(W, dtype=jnp.float32, op="spmv")
+        os.makedirs(".bench_cache", exist_ok=True)
+        save_plan(cache, wbest)
     assert_equal(
         np.asarray(spmv(wbest, xw0, 1.0, 1.0, yw)),
         spmv_cpu(W, DenseVector(np.asarray(xw0)), 1.0, 1.0,

@@ -110,8 +110,11 @@ class RoutedPlan:
         m, n = A.shape
         coo = A.to_coo()  # CSR order (rows ascending)
         nnz = A.nnz
-        rows = coo.row_idx.astype(np.int64)
-        cols = coo.col_idx.astype(np.int64)
+        assert max(m, n, nnz) < 2**31, "routed plans are int32-indexed"
+        # int32 (and value-dtype-matched float) throughout: TPU hosts pay
+        # a large penalty for 64-bit random access (14x on scatters)
+        rows = coo.row_idx.astype(np.int32)
+        cols = coo.col_idx.astype(np.int32)
 
         # ---- gather tiling: per (slab, bucket) runs of <= 128 lanes ----
         slab = cols // SLAB
@@ -120,62 +123,62 @@ class RoutedPlan:
         key = (slab * LANES + bucket).astype(np.int32)
         order = np.argsort(key, kind="stable")
         key_s = key[order]
-        pos = (np.arange(nnz, dtype=np.int64)
-               - np.searchsorted(key_s, key_s, side="left"))
+        pos = (np.arange(nnz, dtype=np.int32)
+               - np.searchsorted(key_s, key_s, side="left").astype(np.int32))
         n_slabs = int(slab.max(initial=0)) + 1 if nnz else 1
         counts = np.bincount(key_s, minlength=n_slabs * LANES)
         tiles_per_slab = np.maximum(
             -(-counts.reshape(n_slabs, LANES).max(axis=1) // LANES), 1)
         tile_base = np.concatenate(
-            [[0], np.cumsum(tiles_per_slab)]).astype(np.int64)
+            [[0], np.cumsum(tiles_per_slab)]).astype(np.int32)
         T_g = int(tile_base[-1])
         tile_of = tile_base[key_s // LANES] + pos // LANES
         gslot_s = tile_of * SLAB + (key_s % LANES) * LANES + pos % LANES
-        gslot = np.empty(nnz, dtype=np.int64)
+        gslot = np.empty(nnz, dtype=np.int32)
         gslot[order] = gslot_s
 
+        np_val = np.dtype(jnp.dtype(dtype).name)
         gidx = np.zeros(T_g * SLAB, dtype=np.int32)
-        gvals = np.zeros(T_g * SLAB, dtype=np.float64)
-        gidx[gslot.astype(np.int32)] = lane
-        gvals[gslot] = coo.values
+        gvals = np.zeros(T_g * SLAB, dtype=np_val)
+        gidx[gslot] = lane
+        gvals[gslot] = coo.values.astype(np_val)
         gslab_arr = np.repeat(
             np.arange(n_slabs, dtype=np.int32), tiles_per_slab)
 
         # ---- reduce layout: degree-sorted lane stack ----
-        deg = A.row_nnz.astype(np.int64)
-        rank_order = np.argsort(-deg, kind="stable")  # rows by deg desc
-        rank = np.empty(m, dtype=np.int64)
-        rank[rank_order] = np.arange(m)
+        deg = A.row_nnz.astype(np.int32)
+        rank_order = np.argsort(-deg, kind="stable").astype(np.int32)
+        rank = np.empty(m, dtype=np.int32)
+        rank[rank_order] = np.arange(m, dtype=np.int32)
         m_pad = _round_up(max(m, 1), LANES)
         n_blocks = m_pad // LANES
         # per-block depth = max degree among its 128 ranks (>= 1)
-        deg_pad = np.zeros(m_pad, dtype=np.int64)
+        deg_pad = np.zeros(m_pad, dtype=np.int32)
         deg_pad[:m] = deg[rank_order]
         depth = np.maximum(deg_pad.reshape(n_blocks, LANES).max(axis=1), 1)
-        off = np.concatenate([[0], np.cumsum(depth)])
+        off = np.concatenate([[0], np.cumsum(depth)]).astype(np.int32)
         S = int(off[-1])
         # nnz slot: j-th entry of row r (CSR position - row start) stacks at
         # sublane off[block] + j, lane rank % 128
-        j_in_row = np.arange(nnz, dtype=np.int64) - np.repeat(
-            A.row_ptr[:-1], A.row_nnz)
+        j_in_row = np.arange(nnz, dtype=np.int32) - np.repeat(
+            A.row_ptr[:-1].astype(np.int32), A.row_nnz)
         rk = rank[rows]
         rslot = (off[rk // LANES] + j_in_row) * LANES + rk % LANES
-        brow_ids = np.repeat(np.arange(n_blocks, dtype=np.int32),
-                             depth.astype(np.int64))
+        brow_ids = np.repeat(np.arange(n_blocks, dtype=np.int32), depth)
 
         # ---- route 1: gather order -> lane-stack order ----
         N = routable_size(max(T_g * SLAB, S * LANES))
-        perm = np.full(N, -1, dtype=np.int64)
+        perm = np.full(N, -1, dtype=np.int32)
         perm[rslot] = gslot
         src_used = np.zeros(N, dtype=bool)
         src_used[gslot] = True
-        perm[perm < 0] = np.flatnonzero(~src_used)
+        perm[perm < 0] = np.flatnonzero(~src_used).astype(np.int32)
         prog = build_route(perm)
 
         # ---- route 2: rank order -> row order (un-relabel y) ----
         N2 = routable_size(m_pad)
         assert N2 >= m_pad
-        perm2 = np.concatenate([rank, np.arange(m, N2, dtype=np.int64)])
+        perm2 = np.concatenate([rank, np.arange(m, N2, dtype=np.int32)])
         prog2 = build_route(perm2)
 
         def _tables(pr):
