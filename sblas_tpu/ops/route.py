@@ -35,8 +35,10 @@ import numpy as np
 LANES = 128
 
 # Largest per-block row count the "mix" select chain handles (cost = A
-# passes); above this the transpose route is cheaper.
-_MIX_MAX_A = 64
+# passes).  Measured v5e: per-block (nb, A, 128) transposes are free for
+# A >= 16 (XLA fuses them) but cost 0.17 ms at A=8 and ~3 ms at A=2, so
+# the select chain wins only for tiny A.
+_MIX_MAX_A = 8
 
 
 def _round_up(x: int, m: int) -> int:
