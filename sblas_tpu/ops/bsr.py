@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DEFAULT, LANES, SBlasConfig
+from ..config import DEFAULT, SBlasConfig
 from ..containers import CsrMatrix
 
 

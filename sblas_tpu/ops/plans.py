@@ -14,7 +14,8 @@ layouts:
   gather + `segment_sum` kernels.  Works for any sparsity structure.
 * `EllPlan` — ELLPACK (m_pad x L) slots; gather-only (no scatter), the
   fast path when row occupancy is balanced.
-* Block-sparse plans for the MXU live in `sblas_tpu.ops.pallas`.
+* Block-sparse (BELL), diagonal (DIA) and routed plans live in
+  `bsr.py` / `dia.py` / `rspmv.py`.
 
 Indices are int32 on device (TPU-native word width).
 """

@@ -26,7 +26,7 @@ reference analog (cuSPARSE owns this problem on GPUs, spmm.h:146-149).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

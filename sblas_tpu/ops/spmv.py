@@ -12,7 +12,7 @@ The alpha/beta epilogue is fused into the same jitted computation — the
 reference needs a separate axpby kernel launch for it (kernel.h:27-38 via
 plusDenseVectorGPU, matrix.h:714-726); under XLA it fuses for free.
 
-Pallas variants live in `sblas_tpu.ops.pallas`.
+Pallas/MXU paths live in `bsr_pallas.py`, `dia.py`, `rspmv.py`.
 """
 
 from __future__ import annotations

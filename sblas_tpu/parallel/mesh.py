@@ -14,7 +14,7 @@ across slices (the reference is single-node only, README.md:28).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

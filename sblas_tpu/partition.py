@@ -30,7 +30,6 @@ import numpy as np
 from .config import DEFAULT, SBlasConfig
 from .containers import CsrMatrix
 from .utils.errors import PartitionError, require
-from .utils.hostmath import find_row_of_nnz
 
 
 def _round_up(x: int, m: int) -> int:
