@@ -9,45 +9,41 @@
 // splitting: walk Eulerian circuits, alternate edges into two halves
 // (every node's degree halves exactly), recurse log2(d) times.
 //
-// This is O(E log d) with tiny constants — ~0.5 s for the 4M-edge graphs a
-// webbase-1M SpMV plan produces — but inherently pointer-chasing, hence
-// C++ rather than numpy (the python fallback in route.py is only viable
-// for test-sized inputs).
+// O(E log d), inherently pointer-chasing — hence C++ (the python fallback
+// in route.py is only viable for test-sized inputs).  All working arrays
+// are int32 and k-indexed (k = position within the current group), so the
+// walk stays cache-local: endpoints are copied into group order once per
+// level instead of chasing original edge ids.
 //
 // No analog in the reference (its gather/scatter problems are cuSPARSE's,
 // e.g. spmm.h:146-149); this is TPU-native infrastructure.
 
+#include <cstddef>
 #include <cstdint>
 #include <vector>
 
+using std::size_t;
+
 namespace {
 
-// Split the edge subset [edges, edges+ne) of the bipartite multigraph
-// (src -> dst, right nodes offset by n_left) into two halves such that
-// every node's degree halves exactly.  All degrees in the subset must be
-// even.  Writes bit (0/1) into bit_out[edge_id].
-void euler_halve(const int32_t* src, const int32_t* dst, int32_t n_left,
-                 int32_t n_right, const int32_t* edges, int64_t ne,
-                 uint8_t* bit_out,
-                 // scratch, reused across calls; int32 throughout — TPU
-                 // hosts pay a large penalty for 64-bit random access
+// Split the k-indexed edge group (lsrc[k], ldst[k]), k in [0, ne), into two
+// halves such that every node's degree halves exactly (all degrees even).
+// Writes bit (0/1) into bit_k[k].
+void euler_halve(const int32_t* lsrc, const int32_t* ldst, int32_t n_left,
+                 int64_t n_nodes, int64_t ne, uint8_t* bit_k,
                  std::vector<int32_t>& head, std::vector<int32_t>& inc,
                  std::vector<int32_t>& ptr, std::vector<uint8_t>& used) {
-  const int64_t n_nodes = (int64_t)n_left + n_right;
   head.assign(n_nodes + 1, 0);
-  // each edge appears in both endpoints' incidence lists
   for (int64_t k = 0; k < ne; ++k) {
-    const int32_t e = edges[k];
-    ++head[src[e] + 1];
-    ++head[(int64_t)n_left + dst[e] + 1];
+    ++head[lsrc[k] + 1];
+    ++head[(int64_t)n_left + ldst[k] + 1];
   }
   for (int64_t v = 0; v < n_nodes; ++v) head[v + 1] += head[v];
   inc.resize(2 * ne);
   ptr.assign(head.begin(), head.end() - 1);
   for (int64_t k = 0; k < ne; ++k) {
-    const int32_t e = edges[k];
-    inc[ptr[src[e]]++] = (int32_t)k;
-    inc[ptr[(int64_t)n_left + dst[e]]++] = (int32_t)k;
+    inc[ptr[lsrc[k]]++] = (int32_t)k;
+    inc[ptr[(int64_t)n_left + ldst[k]]++] = (int32_t)k;
   }
   ptr.assign(head.begin(), head.end() - 1);  // rewind to list starts
   used.assign(ne, 0);
@@ -59,16 +55,15 @@ void euler_halve(const int32_t* src, const int32_t* dst, int32_t n_left,
   // in/out edges into opposite halves.
   for (int64_t k0 = 0; k0 < ne; ++k0) {
     if (used[k0]) continue;
-    int64_t v = src[edges[k0]];
+    int64_t v = lsrc[k0];
     uint8_t parity = 0;
     int64_t k = k0;
     for (;;) {
       used[k] = 1;
-      const int32_t e = edges[k];
-      bit_out[e] = parity;
+      bit_k[k] = parity;
       parity ^= 1;
-      // move to the endpoint of e that is not v
-      v = (v == src[e]) ? (int64_t)n_left + dst[e] : src[e];
+      // move to the endpoint of k's edge that is not v
+      v = (v == lsrc[k]) ? (int64_t)n_left + ldst[k] : (int64_t)lsrc[k];
       // next unused incident edge at v
       int32_t p = ptr[v];
       const int32_t end = head[v + 1];
@@ -93,6 +88,7 @@ int sblas_edge_color(int32_t n_left, int32_t n_right, int64_t ne, int32_t d,
                      int32_t* color_out) {
   if (d <= 0 || (d & (d - 1)) != 0) return 1;
   if (ne != (int64_t)n_left * d || ne != (int64_t)n_right * d) return 2;
+  if (ne >= (int64_t)1 << 31) return 5;  // int32-indexed internals
   for (int64_t e = 0; e < ne; ++e) {
     if (src[e] < 0 || src[e] >= n_left || dst[e] < 0 || dst[e] >= n_right)
       return 3;
@@ -100,44 +96,57 @@ int sblas_edge_color(int32_t n_left, int32_t n_right, int64_t ne, int32_t d,
   }
   if (d == 1) return 0;
 
-  if (ne >= (int64_t)1 << 31) return 5;  // int32-indexed internals
   std::vector<int32_t> head, inc, ptr;
-  std::vector<uint8_t> used;
-  std::vector<uint8_t> bit(ne);
-  std::vector<int32_t> edges(ne), half0, half1;
-  for (int64_t e = 0; e < ne; ++e) edges[e] = (int32_t)e;
+  std::vector<uint8_t> used, bit_k(ne);
+  // group-ordered working copies: edge id, endpoints, accumulated color
+  std::vector<int32_t> eid(ne), lsrc(src, src + ne), ldst(dst, dst + ne);
+  std::vector<int32_t> lcol(ne, 0);
+  std::vector<int32_t> t_eid(ne), t_src(ne), t_dst(ne), t_col(ne);
+  for (int64_t e = 0; e < ne; ++e) eid[e] = (int32_t)e;
 
-  // iterative recursion over color-prefix groups: groups[i] = contiguous
-  // run of `edges`; each level splits every group in two.
-  struct Group { int64_t off, len; int32_t depth; };
-  std::vector<Group> stack{{0, ne, 0}};
+  const int64_t n_nodes = (int64_t)n_left + n_right;
   const int32_t max_depth = [] (int32_t dd) {
     int32_t b = 0; while ((1 << b) < dd) ++b; return b; } (d);
 
-  while (!stack.empty()) {
-    Group g = stack.back();
-    stack.pop_back();
-    if (g.depth == max_depth || g.len <= 1) continue;
-    euler_halve(src, dst, n_left, n_right, edges.data() + g.off, g.len,
-                bit.data(), head, inc, ptr, used);
-    half0.clear(); half1.clear();
-    for (int64_t k = 0; k < g.len; ++k) {
-      const int32_t e = edges[g.off + k];
-      if (bit[e]) {
-        color_out[e] |= (1 << g.depth);
-        half1.push_back(e);
+  // breadth-first over depth levels: at each level every group splits in
+  // two via a stable partition of the parallel arrays
+  std::vector<int64_t> offs{0, ne};
+  for (int32_t depth = 0; depth < max_depth; ++depth) {
+    std::vector<int64_t> next_offs{0};
+    for (size_t g = 0; g + 1 < offs.size(); ++g) {
+      const int64_t off = offs[g], len = offs[g + 1] - offs[g];
+      if (len > 0) {
+        euler_halve(lsrc.data() + off, ldst.data() + off, n_left, n_nodes,
+                    len, bit_k.data(), head, inc, ptr, used);
+        int64_t n1 = 0;
+        for (int64_t k = 0; k < len; ++k) n1 += bit_k[k];
+        if (n1 * 2 != len) return 4;  // degrees were odd
+        const int64_t len0 = len - n1;
+        int64_t p0 = 0, p1 = len0;
+        for (int64_t k = 0; k < len; ++k) {
+          const int64_t e = off + k;
+          const int64_t t = bit_k[k] ? p1++ : p0++;
+          t_eid[t] = eid[e];
+          t_src[t] = lsrc[e];
+          t_dst[t] = ldst[e];
+          t_col[t] = lcol[e] | ((int32_t)bit_k[k] << depth);
+        }
+        for (int64_t k = 0; k < len; ++k) {
+          eid[off + k] = t_eid[k];
+          lsrc[off + k] = t_src[k];
+          ldst[off + k] = t_dst[k];
+          lcol[off + k] = t_col[k];
+        }
+        next_offs.push_back(off + len0);
       } else {
-        half0.push_back(e);
+        next_offs.push_back(off);
       }
+      next_offs.push_back(off + len);
     }
-    if ((int64_t)half0.size() != g.len / 2) return 4;  // degrees were odd
-    int64_t w = g.off;
-    for (int32_t e : half0) edges[w++] = e;
-    for (int32_t e : half1) edges[w++] = e;
-    stack.push_back({g.off, (int64_t)half0.size(), g.depth + 1});
-    stack.push_back({g.off + (int64_t)half0.size(), (int64_t)half1.size(),
-                     g.depth + 1});
+    offs = std::move(next_offs);
   }
+
+  for (int64_t k = 0; k < ne; ++k) color_out[eid[k]] = lcol[k];
   return 0;
 }
 
