@@ -46,6 +46,22 @@ def dia_stats(A: CsrMatrix) -> dict:
     }
 
 
+def dia_arrays(A: CsrMatrix, offsets=None, n_rows: int = None) -> tuple:
+    """DIA value matrix as host numpy: (vals (n_rows, len(offsets)),
+    offsets tuple).  `offsets` defaults to A's occupied diagonals; pass a
+    superset to build shards sharing one static offset list."""
+    coo = A.to_coo()
+    if offsets is None:
+        offsets = dia_stats(A)["offsets"]
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_rows = n_rows if n_rows is not None else max(A.height, 1)
+    vals = np.zeros((n_rows, len(offsets)), dtype=A.values.dtype)
+    if A.nnz:
+        j = np.searchsorted(offsets, coo.col_idx - coo.row_idx)
+        vals[coo.row_idx, j] = coo.values
+    return vals, tuple(int(o) for o in offsets)
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["vals"],
          meta_fields=["offsets", "shape", "nnz"])
@@ -69,16 +85,8 @@ class DiaPlan:
     @classmethod
     def from_csr(cls, A: CsrMatrix, dtype=jnp.float32,
                  config: SBlasConfig = DEFAULT) -> "DiaPlan":
-        m, _ = A.shape
-        coo = A.to_coo()
-        stats = dia_stats(A)
-        offs = stats["offsets"]
-        vals = np.zeros((max(m, 1), len(offs)), dtype=np.float64)
-        if A.nnz:
-            j = np.searchsorted(offs, coo.col_idx - coo.row_idx)
-            vals[coo.row_idx, j] = coo.values
-        return cls(jnp.asarray(vals, dtype),
-                   tuple(int(o) for o in offs), A.shape, A.nnz)
+        vals, offs = dia_arrays(A)
+        return cls(jnp.asarray(vals, dtype), offs, A.shape, A.nnz)
 
     @classmethod
     def is_profitable(cls, A: CsrMatrix,

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import DEFAULT, SBlasConfig
 from ..containers import CsrMatrix
 from ..ops.bsr import BsrPlan, bell_arrays, bell_stats, spmm_bsr, spmv_bsr
-from ..ops.dia import DiaPlan, spmm_dia, spmv_dia
+from ..ops.dia import DiaPlan, dia_arrays, spmm_dia, spmv_dia
 from ..ops.plans import EllPlan, ell_arrays
 from ..ops.spmm import spmm_ell
 from ..ops.spmv import spmv_ell
@@ -84,6 +84,14 @@ def _local_csr(A: CsrMatrix, r0: int, r1: int, band_rows: int,
                                  dtype=A.row_ptr.dtype)])
     return CsrMatrix(rp, A.col_idx[lo:hi] + col_shift, A.values[lo:hi],
                      (band_rows, width if width is not None else A.shape[1]))
+
+
+def _union_offsets(subs):
+    """Sorted union of occupied diagonals over shard submatrices (shards
+    must share one static offset list to stack)."""
+    offs = {int(o) for sub in subs
+            for o in np.unique(sub.to_coo().col_idx - sub.to_coo().row_idx)}
+    return sorted(offs or {0})
 
 
 def _stack_plans(plans):
@@ -135,17 +143,11 @@ def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
                                  jnp.asarray(vals, dtype),
                                  (band_rows, A.shape[1]), A.nnz))
     elif kind == "dia":
-        offs = sorted({int(o) for sub in locals_
-                       for o in np.unique(sub.to_coo().col_idx
-                                          - sub.to_coo().row_idx)} or {0})
+        offs = _union_offsets(locals_)
         plans = []
         for sub in locals_:
-            coo = sub.to_coo()
-            vals = np.zeros((band_rows, len(offs)), dtype=np.float64)
-            if sub.nnz:
-                j = np.searchsorted(offs, coo.col_idx - coo.row_idx)
-                vals[coo.row_idx, j] = coo.values
-            plans.append(DiaPlan(jnp.asarray(vals, dtype), tuple(offs),
+            vals, offs_t = dia_arrays(sub, offsets=offs, n_rows=band_rows)
+            plans.append(DiaPlan(jnp.asarray(vals, dtype), offs_t,
                                  (band_rows, A.shape[1]), A.nnz))
     else:
         raise PartitionError(f"unknown plan kind {kind!r}")
@@ -299,17 +301,11 @@ def partition_halo_dia(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
         r0, r1 = min(s * r, m), min((s + 1) * r, m)
         subs.append(_local_csr(A, r0, r1, r, col_shift=r - s * r,
                                width=3 * r))
-    offs = sorted({int(o) for sub in subs
-                   for o in np.unique(sub.to_coo().col_idx
-                                      - sub.to_coo().row_idx)} or {0})
+    offs = _union_offsets(subs)
     plans = []
     for sub in subs:
-        coo = sub.to_coo()
-        vals = np.zeros((r, len(offs)), dtype=np.float64)
-        if sub.nnz:
-            j = np.searchsorted(offs, coo.col_idx - coo.row_idx)
-            vals[coo.row_idx, j] = coo.values
-        plans.append(DiaPlan(jnp.asarray(vals, dtype), tuple(offs),
+        vals, offs_t = dia_arrays(sub, offsets=offs, n_rows=r)
+        plans.append(DiaPlan(jnp.asarray(vals, dtype), offs_t,
                              (r, 3 * r), A.nnz))
     return HaloDiaShards(plan=_stack_plans(plans), shape=A.shape, nnz=A.nnz,
                          n_shards=n_shards, rows_per_shard=r)
