@@ -1,12 +1,13 @@
 """SpMM driver — argv contract of the reference's spmm_test binary.
 
-    python -m sblas_tpu.cli.spmm_test <method 1|2> <A.mtx> <B_width>
+    python -m sblas_tpu.cli.spmm_test <method 1|2|2p> <A.mtx> <B_width>
                                       <alpha> <beta> <n_devices> [dtype]
 
 Mirrors spmm_test.cu:95-124: method 1 = partition dense B (no comm,
 spmmCsrTest spmm_test.cu:19-56), method 2 = partition sparse A + sum
-collective (spmmCsrTest2 spmm_test.cu:58-93).  Every run verifies against
-the CPU oracle and prints Load/Run/CPU times.
+collective (spmmCsrTest2 spmm_test.cu:58-93).  Method 2p is mode 2 with
+per-shard fast plans (parallel/planned.py; no reference analog).  Every
+run verifies against the CPU oracle and prints Load/Run/CPU times.
 """
 
 from __future__ import annotations
@@ -16,14 +17,14 @@ import sys
 from .common import finish, positional, setup_devices
 
 USAGE = ("usage: python -m sblas_tpu.cli.spmm_test "
-         "<method 1|2> <A.mtx> <B_width> <alpha> <beta> <n_devices> "
+         "<method 1|2|2p> <A.mtx> <B_width> <alpha> <beta> <n_devices> "
          "[f32|f64]")
 
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     method, path, b_width, alpha, beta, n_dev = positional(
-        argv, range(6), (int, str, int, float, float, int), USAGE)
+        argv, range(6), (str, str, int, float, float, int), USAGE)
     dtype_name = argv[6] if len(argv) > 6 else "f32"
 
     mesh, n = setup_devices(n_dev)
@@ -34,7 +35,8 @@ def main(argv=None) -> int:
     from ..containers import CsrMatrix, DenseMatrix, MajorOrder
     from ..ops import make_plan
     from ..ops.cpu_reference import spmm_cpu
-    from ..parallel import spmm_mode1, spmm_mode2, sync_to_host
+    from ..parallel import (partition_row_plans, spmm_mode1, spmm_mode2,
+                            spmm_mode2_planned, sync_to_host)
     from ..partition import partition_nnz_balanced, partition_report
     from ..utils.timing import PhaseTimer, gflops, spmm_flops, timed
     from ..utils.verify import check_equal
@@ -49,8 +51,12 @@ def main(argv=None) -> int:
         B = DenseMatrix.random(A.width, b_width, order=MajorOrder.COL_MAJOR,
                                dtype=np_dtype)
         C = DenseMatrix.constant(A.height, b_width, 1.0, dtype=np_dtype)
-        if method == 1:
+        if method == "1":
             plan = make_plan(A, dtype=jnp_dtype)
+        elif method == "2p":
+            shards = partition_row_plans(A, n, dtype=jnp_dtype)
+            print(f"per-shard plans: kind={shards.kind}, "
+                  f"band_rows={shards.band_rows}")
         else:
             segs = partition_nnz_balanced(A, n, dtype=jnp_dtype)
             print(partition_report(segs))
@@ -58,9 +64,11 @@ def main(argv=None) -> int:
           f"{n} device(s), method {method}")
 
     Bd, Cd = jnp.asarray(B.values), jnp.asarray(C.values)
-    run = ((lambda: spmm_mode1(plan, Bd, alpha, beta, Cd, mesh))
-           if method == 1 else
-           (lambda: spmm_mode2(segs, Bd, alpha, beta, Cd, mesh)))
+    run = {
+        "1": lambda: spmm_mode1(plan, Bd, alpha, beta, Cd, mesh),
+        "2": lambda: spmm_mode2(segs, Bd, alpha, beta, Cd, mesh),
+        "2p": lambda: spmm_mode2_planned(shards, Bd, alpha, beta, Cd, mesh),
+    }[method]
     got = run()  # compile + first run (the reference times a cold run;
     # we report the steady-state run, plus GFLOPs the reference omits)
     timer = PhaseTimer()

@@ -1,12 +1,13 @@
 """SpMV driver — argv contract of the reference's spmv_test binary.
 
     python -m sblas_tpu.cli.spmv_test <A.mtx> <alpha> <beta> <n_devices>
-                                      [f32|f64] [--mode dist|halo|single]
+                                      [f32|f64] [--mode dist|distp|halo|halop|single]
 
 Mirrors spmv_test.cu:44-60 (spmvCsrTest :9-42): A nnz-segmented, x/y
 replicated, partial-y sum collective, CPU-oracle verification.  `--mode
 halo` selects the row-block + ppermute x-exchange variant (BASELINE.md
-config 4); `--mode single` runs the single-chip kernel.
+config 4); `distp`/`halop` run the same strategies with per-shard fast
+plans (parallel/planned.py); `--mode single` runs the single-chip kernel.
 """
 
 from __future__ import annotations
@@ -38,7 +39,9 @@ def main(argv=None) -> int:
     from ..containers import CsrMatrix, DenseVector
     from ..ops import make_plan, spmv
     from ..ops.cpu_reference import spmv_cpu
-    from ..parallel import spmv_dist, spmv_halo, sync_to_host
+    from ..parallel import (partition_halo_dia, partition_row_plans,
+                            spmv_dist, spmv_dist_planned, spmv_halo,
+                            spmv_halo_planned, sync_to_host)
     from ..partition import (partition_nnz_balanced, partition_report,
                              partition_row_blocks)
     from ..utils.timing import PhaseTimer, nnz_per_s, timed
@@ -56,10 +59,18 @@ def main(argv=None) -> int:
         if mode == "dist":
             segs = partition_nnz_balanced(A, n, dtype=jnp_dtype)
             print(partition_report(segs))
+        elif mode == "distp":
+            shards = partition_row_plans(A, n, dtype=jnp_dtype)
+            print(f"per-shard plans: kind={shards.kind}, "
+                  f"band_rows={shards.band_rows}")
         elif mode == "halo":
             blocks = partition_row_blocks(A, n, dtype=jnp_dtype)
             print(f"halo widths: {blocks.halo_left}/{blocks.halo_right} "
                   f"(block {blocks.rows_per_shard})")
+        elif mode == "halop":
+            hshards = partition_halo_dia(A, n, dtype=jnp_dtype)
+            print(f"halo DIA shards: {len(hshards.plan.offsets)} diagonals, "
+                  f"block {hshards.rows_per_shard}")
         else:
             plan = make_plan(A, dtype=jnp_dtype, op="spmv")
     print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, {n} device(s), "
@@ -68,7 +79,11 @@ def main(argv=None) -> int:
     xd, yd = jnp.asarray(x.values), jnp.asarray(y.values)
     run = {
         "dist": lambda: spmv_dist(segs, xd, alpha, beta, yd, mesh),
+        "distp": lambda: spmv_dist_planned(shards, xd, alpha, beta, yd,
+                                           mesh),
         "halo": lambda: spmv_halo(blocks, xd, alpha, beta, yd, mesh),
+        "halop": lambda: spmv_halo_planned(hshards, xd, alpha, beta, yd,
+                                           mesh),
         "single": lambda: spmv(plan, xd, alpha, beta, yd),
     }[mode]
     got = run()  # compile

@@ -1,0 +1,73 @@
+"""CLI drivers end-to-end on the virtual CPU mesh (argv contract of the
+reference binaries, spmm_test.cu:95-124 / spmv_test.cu:44-60)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sblas_tpu.io.mmio import write_mtx
+
+
+@pytest.fixture(scope="module")
+def mtx_path(tmp_path_factory):
+    """Small banded test matrix written as .mtx."""
+    from sblas_tpu.io.generate import fem_banded_like
+    A = fem_banded_like(n=300, half_band=4, dtype=np.float64)
+    coo = A.to_coo()
+    path = tmp_path_factory.mktemp("cli") / "band.mtx"
+    write_mtx(str(path), A.height, A.width, coo.row_idx, coo.col_idx,
+              coo.values)
+    return str(path)
+
+
+@pytest.mark.parametrize("method", ["1", "2", "2p"])
+def test_spmm_cli(mtx_path, method, capsys):
+    from sblas_tpu.cli.spmm_test import main
+    rc = main([method, mtx_path, "8", "3.0", "4.0", "4", "f64"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Validation = True" in out
+
+
+@pytest.mark.parametrize("mode", ["dist", "distp", "halo", "halop",
+                                  "single"])
+def test_spmv_cli(mtx_path, mode, capsys):
+    from sblas_tpu.cli.spmv_test import main
+    rc = main([mtx_path, "3.0", "4.0", "4", "f64", "--mode", mode])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Validation = True" in out
+
+
+def test_spmm_um_cli(mtx_path, capsys):
+    from sblas_tpu.cli.spmm_test_um import main
+    rc = main(["2", mtx_path, "8", "3.0", "4.0", "1", "1", "f64"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Validation = True" in out
+
+
+def test_spmv_um_cli(mtx_path, capsys):
+    from sblas_tpu.cli.spmv_test_um import main
+    rc = main([mtx_path, "3.0", "4.0", "1", "0", "f64"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Validation = True" in out
+
+
+def test_unit_test_cli(capsys):
+    from sblas_tpu.cli.unit_test import main
+    rc = main([])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "False" not in out
+
+
+def test_validation_failure_exit_code(mtx_path, capsys):
+    """Unlike the reference (unit_test.cu:177-187 returns 0 always), a
+    failed validation must flip the exit code — simulate by corrupting
+    tolerance via env."""
+    from sblas_tpu.cli.common import finish
+    assert finish(False, {}) == 1
+    capsys.readouterr()
