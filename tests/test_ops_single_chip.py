@@ -134,3 +134,30 @@ def test_elementwise_parity():
     np.testing.assert_allclose(np.asarray(axpby(x, y, 2.0, 3.0)),
                                2.0 * np.arange(8) + 3.0)
     np.testing.assert_allclose(np.asarray(plus_scalar(y, 5.0)), 6.0)
+
+
+def test_bfloat16_plans_run():
+    """bf16 value storage: supported end-to-end (MXU-native dtype); checked
+    at a bf16-appropriate tolerance rather than the f32/f64 ERROR_BAR."""
+    import jax.numpy as jnp
+
+    from sblas_tpu.io.generate import fem_banded_like
+    from sblas_tpu.ops import make_plan, spmm, spmv
+
+    A = fem_banded_like(n=400, half_band=3, dtype=np.float64)
+    B = DenseMatrix.random(A.width, 8)
+    C = DenseMatrix.constant(A.height, 8, 1.0)
+    x = DenseVector.random(A.width)
+    y = DenseVector.constant(A.height, 1.0)
+    for force in ("bsr", "ell", "coo", "dia"):
+        plan = make_plan(A, dtype=jnp.bfloat16, force=force)
+        got = np.asarray(spmm(plan, jnp.asarray(B.values, jnp.bfloat16),
+                              1.0, 1.0, jnp.asarray(C.values, jnp.bfloat16))
+                         ).astype(np.float64)
+        want = spmm_cpu(A, B, 1.0, 1.0, C)
+        np.testing.assert_allclose(got, want, rtol=0.15, atol=0.15)
+        gotv = np.asarray(spmv(plan, jnp.asarray(x.values, jnp.bfloat16),
+                               1.0, 1.0, jnp.asarray(y.values, jnp.bfloat16))
+                          ).astype(np.float64)
+        wantv = spmv_cpu(A, x, 1.0, 1.0, y)
+        np.testing.assert_allclose(gotv, wantv, rtol=0.15, atol=0.15)
