@@ -1,11 +1,14 @@
 """Ops layer: single-chip SpMV/SpMM kernels + CPU oracle.
 
 Analog of the reference's ops headers (spmm.h / spmv.h behind sblas.h).
-Three device layouts, chosen by `make_plan`:
+Six device layouts, chosen by `make_plan`:
 
+* DIA diagonal (shift-and-FMA) — banded structure, SpMV planning;
+* Routed (gather/route/stack engine) — large unstructured, SpMV planning;
 * BELL block-sparse (MXU batched matmuls) — block-friendly structure;
 * ELL (gather-only VPU) — balanced row occupancy;
-* padded COO (gather + sorted segment_sum) — anything else.
+* windowed COO (block gather + one-hot MXU window reduce) — unstructured;
+* padded COO (gather + sorted segment_sum) — universal fallback.
 """
 
 from . import cpu_reference  # noqa: F401
@@ -108,6 +111,11 @@ def spmm(plan, B, alpha=1.0, beta=1.0, C=None):
     if C is None:
         C = jnp.zeros((plan.shape[0], B.shape[1]), dtype=plan.vals.dtype)
         beta = 0.0
+    if isinstance(plan, RoutedPlan):
+        raise TypeError(
+            "RoutedPlan is SpMV-only (its contribution routing has no "
+            "K-wide analog); build an SpMM plan with make_plan(A) or "
+            "make_plan(A, op='spmm')")
     if isinstance(plan, DiaPlan):
         return spmm_dia(plan, B, alpha, beta, C)
     if isinstance(plan, BsrPlan):
