@@ -76,3 +76,45 @@ def test_dispatch_via_generic_spmv():
     y = DenseVector.constant(A.height, 1.0)
     got = spmv(plan, jnp.asarray(x.values), 2.0, 3.0, jnp.asarray(y.values))
     assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))
+
+
+@pytest.mark.parametrize("build", [
+    ("single_dense_column",
+     lambda rng, m: _dense_col(rng, m)),
+    ("single_dense_row",
+     lambda rng, m: _dense_row(rng, m)),
+    ("one_nnz", lambda rng, m: _one_nnz(m)),
+    ("empty", lambda rng, m: np.zeros((200, 300))),
+    ("diagonal", lambda rng, m: np.diag(rng.rand(m) + 0.1)),
+], ids=lambda b: b[0])
+def test_degenerate_structures(build):
+    """Routing stays correct on structures that break its fill
+    assumptions (padding blows up, results must not)."""
+    from sblas_tpu.containers import CsrMatrix
+    rng = np.random.RandomState(0)
+    m = 1500
+    A = CsrMatrix.from_dense(build[1](rng, m))
+    plan = RoutedPlan.from_csr(A, dtype=jnp.float64)
+    x = DenseVector.random(A.width)
+    y = DenseVector.constant(A.height, 1.0)
+    got = spmv_routed(plan, jnp.asarray(x.values), 3.0, 4.0,
+                      jnp.asarray(y.values))
+    assert_equal(np.asarray(got), spmv_cpu(A, x, 3.0, 4.0, y))
+
+
+def _dense_col(rng, m):
+    d = np.zeros((m, m))
+    d[:, 7] = rng.rand(m) + 0.1
+    return d
+
+
+def _dense_row(rng, m):
+    d = np.zeros((m, m))
+    d[11, :] = rng.rand(m) + 0.1
+    return d
+
+
+def _one_nnz(m):
+    d = np.zeros((m, m))
+    d[5, 9] = 1.5
+    return d
