@@ -1,0 +1,52 @@
+"""Seeded randomized sweep: every plan kind on random shapes/structures/
+scalars vs the CPU oracle.  Catches interactions the targeted tests
+don't (odd shapes x layouts x alpha/beta signs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sblas_tpu.containers import CsrMatrix, DenseMatrix, DenseVector
+from sblas_tpu.ops import make_plan, spmm, spmv
+from sblas_tpu.ops.cpu_reference import spmm_cpu, spmv_cpu
+from sblas_tpu.utils.verify import assert_equal
+
+KINDS = ["dia", "bsr", "ell", "wcoo", "coo", "routed"]
+
+
+def _random_csr(rng):
+    m = int(rng.integers(1, 400))
+    n = int(rng.integers(1, 400))
+    density = float(rng.uniform(0.001, 0.08))
+    nnz = max(int(m * n * density), 1)
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    dense = np.zeros((m, n))
+    dense[rows, cols] = vals
+    return CsrMatrix.from_dense(dense)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_all_kinds(seed):
+    rng = np.random.default_rng(seed)
+    A = _random_csr(rng)
+    alpha = float(rng.uniform(-3, 3))
+    beta = float(rng.uniform(-3, 3))
+    k = int(rng.integers(1, 20))
+    x = DenseVector.random(A.width)
+    y = DenseVector.random(A.height)
+    B = DenseMatrix.random(A.width, k)
+    C = DenseMatrix.random(A.height, k)
+    want_v = spmv_cpu(A, x, alpha, beta, y)
+    want_m = spmm_cpu(A, B, alpha, beta, C)
+    for kind in KINDS:
+        plan = make_plan(A, dtype=jnp.float64, force=kind)
+        got = spmv(plan, jnp.asarray(x.values), alpha, beta,
+                   jnp.asarray(y.values))
+        assert_equal(np.asarray(got), want_v)
+        if kind == "routed":
+            continue  # SpMV-only plan
+        gotm = spmm(plan, jnp.asarray(B.values), alpha, beta,
+                    jnp.asarray(C.values))
+        assert_equal(np.asarray(gotm), want_m)
