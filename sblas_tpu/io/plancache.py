@@ -47,17 +47,23 @@ def save_plan(path: str, plan) -> None:
     cls = type(plan)
     arrays = {}
     meta = {"__class__": cls.__name__}
+    dtypes = {}
     for f in dataclasses.fields(plan):
         v = getattr(plan, f.name)
         if isinstance(v, (jax.Array, np.ndarray)):
             arrays[f"a:{f.name}"] = np.asarray(v)
+            dtypes[f"a:{f.name}"] = str(np.asarray(v).dtype)
         elif (isinstance(v, tuple) and v
               and all(isinstance(e, (jax.Array, np.ndarray)) for e in v)):
             for i, e in enumerate(v):
                 arrays[f"t:{f.name}:{i}"] = np.asarray(e)
+                dtypes[f"t:{f.name}:{i}"] = str(np.asarray(e).dtype)
             meta[f"__tuplelen__{f.name}"] = len(v)
         else:
             meta[f.name] = v
+    # intended dtypes recorded so a load in a differently-configured
+    # process (e.g. x64 off) fails loudly instead of silently downcasting
+    meta["__dtypes__"] = dtypes
     buf = iomod.BytesIO()
     np.savez_compressed(buf, __meta__=np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8), **arrays)
@@ -67,12 +73,28 @@ def save_plan(path: str, plan) -> None:
 
 def load_plan(path: str):
     """Load a plan saved by `save_plan`; arrays land on the default
-    device."""
+    device.
+
+    Raises FormatError when the current JAX config cannot represent a
+    stored dtype (e.g. a float64 plan loaded with x64 disabled) — silent
+    canonicalization would change results without any error."""
     import jax.numpy as jnp
+
+    from ..utils.errors import FormatError
+
+    def _dev(key, arr, want: str):
+        out = jnp.asarray(arr)
+        if want is not None and str(out.dtype) != want:
+            raise FormatError(
+                f"plan cache {path}: array {key!r} was saved as {want} but "
+                f"would load as {out.dtype} under the current JAX config "
+                f"(enable jax_enable_x64 or re-save the plan)")
+        return out
 
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
         cls = _plan_registry()[meta.pop("__class__")]
+        dtypes = meta.pop("__dtypes__", {})
         kwargs = {}
         tuple_lens = {k[len("__tuplelen__"):]: meta.pop(k)
                       for k in list(meta) if k.startswith("__tuplelen__")}
@@ -80,8 +102,9 @@ def load_plan(path: str):
             kwargs[name] = _tuplify(v)
         for key in z.files:
             if key.startswith("a:"):
-                kwargs[key[2:]] = jnp.asarray(z[key])
+                kwargs[key[2:]] = _dev(key, z[key], dtypes.get(key))
         for name, ln in tuple_lens.items():
             kwargs[name] = tuple(
-                jnp.asarray(z[f"t:{name}:{i}"]) for i in range(ln))
+                _dev(f"t:{name}:{i}", z[f"t:{name}:{i}"],
+                     dtypes.get(f"t:{name}:{i}")) for i in range(ln))
     return cls(**kwargs)

@@ -80,6 +80,7 @@ class HostResidentPlan:
     nnz: int
     kind: str  # "bsr" | "ell"
     _device_bands: Optional[List] = None
+    _stacked: Optional[object] = None  # build-once scan operand (tuned mode)
 
     @property
     def n_bands(self) -> int:
@@ -91,14 +92,28 @@ class HostResidentPlan:
 
     # --- residency control (reference matrix_um.h:529-614) ---
     def apply_gpu_tuning(self) -> None:
-        """Prefetch every band to HBM and keep it there."""
+        """Prefetch every band to HBM and keep it there.
+
+        The stacked scan operand is built (and paid for) once here, not on
+        every tuned op call — re-stacking per call would copy the whole
+        operand and transiently double resident HBM in the
+        build-once/run-many path."""
         if self._device_bands is None:
             self._device_bands = [_to_device(b) for b in self.bands]
             jax.block_until_ready(self._device_bands)
+        if self._stacked is None:
+            import jax.tree_util as jtu
+            self._stacked = jtu.tree_map(lambda *xs: jnp.stack(xs),
+                                         *self._device_bands)
+            jax.block_until_ready(self._stacked)
+            # individual band copies are no longer needed in tuned mode;
+            # keep only the stacked operand resident
+            self._device_bands = [None] * len(self.bands)
 
     def remove_gpu_tuning(self) -> None:
         """Drop HBM copies; bands stay pinned in host DRAM."""
         self._device_bands = None
+        self._stacked = None
 
     def apply_cpu_tuning(self) -> None:
         """Alias of remove_gpu_tuning for reference API parity."""
@@ -106,8 +121,9 @@ class HostResidentPlan:
 
     def band_device(self, i: int):
         """Band i, on device: prefetched copy when tuned, fresh async DMA
-        from pinned host otherwise."""
-        if self._device_bands is not None:
+        from pinned host otherwise (tuned mode keeps only the stacked
+        operand, so per-band requests re-DMA)."""
+        if self._device_bands is not None and self._device_bands[i] is not None:
             return self._device_bands[i]
         return _to_device(self.bands[i])
 
@@ -243,9 +259,9 @@ def _stacked_bands(hplan: HostResidentPlan):
     construction, so the HBM-resident copies stack into one pytree and
     the whole band loop runs as a single jitted lax.scan — one dispatch
     instead of one per band (dispatch costs dominate per-band launches
-    on high-latency attachments)."""
-    import jax.tree_util as jtu
-    return jtu.tree_map(lambda *xs: jnp.stack(xs), *hplan._device_bands)
+    on high-latency attachments).  Built once in apply_gpu_tuning and
+    cached on the plan."""
+    return hplan._stacked
 
 
 @partial(jax.jit, static_argnames=("kind", "m"))

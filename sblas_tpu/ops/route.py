@@ -101,12 +101,17 @@ def _edge_color_py(src, dst, n_left, n_right, d):
 
 
 def edge_color(src, dst, n_left, n_right, d) -> np.ndarray:
-    """d-regular bipartite edge coloring; native when available."""
+    """d-regular bipartite edge coloring; native when available.
+
+    Gated on `native.available()` so the SBLAS_NO_NATIVE kill switch also
+    disables route planning's native path (not just the .mtx parser)."""
     from ..io import native
-    try:
-        return native.edge_color(src, dst, n_left, n_right, d)
-    except RuntimeError:
-        return _edge_color_py(src, dst, n_left, n_right, d)
+    if native.available():
+        try:
+            return native.edge_color(src, dst, n_left, n_right, d)
+        except RuntimeError:
+            pass
+    return _edge_color_py(src, dst, n_left, n_right, d)
 
 
 # ---------------------------------------------------------------------------
@@ -169,9 +174,11 @@ def build_route(perm: np.ndarray) -> RouteProgram:
 
     `perm` must be a bijection on [0, len(perm)); it is extended to the
     padded routable size with identity on the pad slots."""
+    from ..utils.errors import PlanError, require
     n = len(perm)
     N = routable_size(n)
-    assert N < 2**31, "route builder is int32-indexed"
+    require(N < 2**31, PlanError,
+            f"route builder is int32-indexed (padded size {N} >= 2^31)")
     # int32 throughout: this box (and TPU hosts generally) pays a large
     # penalty for 64-bit random access; int32 scatters measured 14x faster
     full = np.empty(N, dtype=np.int32)
@@ -300,6 +307,16 @@ def _lane_shuffle_kernel(x_ref, i_ref, o_ref):
     o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
 
 
+def vma_union(*xs):
+    """Union of the operands' varying-manual-axes.  pallas_call out_shapes
+    must state their vma when traced inside shard_map (check_vma=True);
+    outside shard_map this is the empty set and has no effect."""
+    s = set()
+    for x in xs:
+        s |= set(getattr(jax.typeof(x), "vma", ()) or ())
+    return frozenset(s)
+
+
 def lane_shuffle(x2d: jax.Array, idx: jax.Array) -> jax.Array:
     """out[r, j] = x2d[r, idx[r, j]] — Pallas VPU dynamic lane gather."""
     from jax.experimental import pallas as pl
@@ -311,7 +328,8 @@ def lane_shuffle(x2d: jax.Array, idx: jax.Array) -> jax.Array:
         grid=(R // chunk,),
         in_specs=[pl.BlockSpec((chunk, LANES), lambda i: (i, 0))] * 2,
         out_specs=pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((R, LANES), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((R, LANES), x2d.dtype,
+                                       vma=vma_union(x2d, idx)),
         interpret=_interpret(),
     )(x2d, idx)
 

@@ -59,6 +59,65 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Layout math (shared by from_csr and the distributed size probe)
+# ---------------------------------------------------------------------------
+
+def _gather_layout(cols: np.ndarray, nnz: int):
+    """Slab/bucket gather tiling: returns (gslot (nnz,) i32, tiles_per_slab
+    (n_slabs,) i64, n_slabs).  Natural tile count = tiles_per_slab.sum()."""
+    slab = cols // SLAB
+    bucket = (cols % SLAB) // LANES
+    key = (slab * LANES + bucket).astype(np.int32)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    pos = (np.arange(nnz, dtype=np.int32)
+           - np.searchsorted(key_s, key_s, side="left").astype(np.int32))
+    n_slabs = int(slab.max(initial=0)) + 1 if nnz else 1
+    counts = np.bincount(key_s, minlength=n_slabs * LANES)
+    tiles_per_slab = np.maximum(
+        -(-counts.reshape(n_slabs, LANES).max(axis=1) // LANES), 1)
+    tile_base = np.concatenate(
+        [[0], np.cumsum(tiles_per_slab)]).astype(np.int32)
+    tile_of = tile_base[key_s // LANES] + pos // LANES
+    gslot_s = tile_of * SLAB + (key_s % LANES) * LANES + pos % LANES
+    gslot = np.empty(nnz, dtype=np.int32)
+    gslot[order] = gslot_s
+    return gslot, tiles_per_slab, n_slabs
+
+
+def _stack_layout(A: CsrMatrix):
+    """Degree-sorted lane-stack layout: returns (rank (m,) i32, off64
+    (n_blocks+1,) i64 cumulative depths, depth (n_blocks,) i32, n_blocks).
+    Natural stack height S = off64[-1]."""
+    m = A.shape[0]
+    deg = A.row_nnz.astype(np.int32)
+    rank_order = np.argsort(-deg, kind="stable").astype(np.int32)
+    rank = np.empty(m, dtype=np.int32)
+    rank[rank_order] = np.arange(m, dtype=np.int32)
+    m_pad = _round_up(max(m, 1), LANES)
+    n_blocks = m_pad // LANES
+    # per-block depth = max degree among its 128 ranks (>= 1)
+    deg_pad = np.zeros(m_pad, dtype=np.int32)
+    deg_pad[:m] = deg[rank_order]
+    depth = np.maximum(deg_pad.reshape(n_blocks, LANES).max(axis=1), 1)
+    off64 = np.concatenate([[0], np.cumsum(depth, dtype=np.int64)])
+    return rank, off64, depth, n_blocks
+
+
+def routed_shard_sizes(A: CsrMatrix):
+    """Natural (n_gtiles, n_srows) a RoutedPlan over A would use — the
+    cheap prefix of the plan build (no edge coloring).  The distributed
+    layer probes every shard with this, takes element-wise maxima, and
+    passes them back as from_csr(min_gtiles=..., min_srows=...) so all
+    shard plans share one static shape."""
+    coo = A.to_coo()
+    cols = coo.col_idx.astype(np.int32)
+    _, tiles_per_slab, _ = _gather_layout(cols, A.nnz)
+    _, off64, _, _ = _stack_layout(A)
+    return int(tiles_per_slab.sum()), int(off64[-1])
+
+
+# ---------------------------------------------------------------------------
 # Plan
 # ---------------------------------------------------------------------------
 
@@ -106,36 +165,32 @@ class RoutedPlan:
 
     @classmethod
     def from_csr(cls, A: CsrMatrix, dtype=jnp.float32,
-                 config: SBlasConfig = DEFAULT) -> "RoutedPlan":
+                 config: SBlasConfig = DEFAULT, *, min_gtiles: int = 0,
+                 min_srows: int = 0) -> "RoutedPlan":
+        """`min_gtiles` / `min_srows` pad the gather-tile count and lane-
+        stack depth up to shared static sizes — the distributed layer uses
+        them so per-shard routed plans stack into one shard_map program
+        (pad tiles hold val=0 and contribute nothing; the route program's
+        layer structure depends only on the padded element count, so equal
+        sizes give equal schedules across shards)."""
+        from ..utils.errors import PlanError, require
         m, n = A.shape
         coo = A.to_coo()  # CSR order (rows ascending)
         nnz = A.nnz
-        assert max(m, n, nnz) < 2**31, "routed plans are int32-indexed"
+        require(max(m, n, nnz) < 2**31, PlanError,
+                "routed plans are int32-indexed")
         # int32 (and value-dtype-matched float) throughout: TPU hosts pay
         # a large penalty for 64-bit random access (14x on scatters)
         rows = coo.row_idx.astype(np.int32)
         cols = coo.col_idx.astype(np.int32)
 
         # ---- gather tiling: per (slab, bucket) runs of <= 128 lanes ----
-        slab = cols // SLAB
-        bucket = (cols % SLAB) // LANES
         lane = (cols % LANES).astype(np.int32)
-        key = (slab * LANES + bucket).astype(np.int32)
-        order = np.argsort(key, kind="stable")
-        key_s = key[order]
-        pos = (np.arange(nnz, dtype=np.int32)
-               - np.searchsorted(key_s, key_s, side="left").astype(np.int32))
-        n_slabs = int(slab.max(initial=0)) + 1 if nnz else 1
-        counts = np.bincount(key_s, minlength=n_slabs * LANES)
-        tiles_per_slab = np.maximum(
-            -(-counts.reshape(n_slabs, LANES).max(axis=1) // LANES), 1)
-        tile_base = np.concatenate(
-            [[0], np.cumsum(tiles_per_slab)]).astype(np.int32)
-        T_g = int(tile_base[-1])
-        tile_of = tile_base[key_s // LANES] + pos // LANES
-        gslot_s = tile_of * SLAB + (key_s % LANES) * LANES + pos % LANES
-        gslot = np.empty(nnz, dtype=np.int32)
-        gslot[order] = gslot_s
+        gslot, tiles_per_slab, n_slabs = _gather_layout(cols, nnz)
+        T_g = max(int(tiles_per_slab.sum()), int(min_gtiles))
+        require(T_g * SLAB < 2**31, PlanError,
+                f"gather tiling overflows int32 slots (T_g={T_g}); the "
+                f"matrix is too large/ragged for a single routed plan")
 
         np_val = np.dtype(jnp.dtype(dtype).name)
         gidx = np.zeros(T_g * SLAB, dtype=np.int32)
@@ -144,27 +199,27 @@ class RoutedPlan:
         gvals[gslot] = coo.values.astype(np_val)
         gslab_arr = np.repeat(
             np.arange(n_slabs, dtype=np.int32), tiles_per_slab)
+        gslab_arr = np.pad(gslab_arr, (0, T_g - len(gslab_arr)))
 
         # ---- reduce layout: degree-sorted lane stack ----
-        deg = A.row_nnz.astype(np.int32)
-        rank_order = np.argsort(-deg, kind="stable").astype(np.int32)
-        rank = np.empty(m, dtype=np.int32)
-        rank[rank_order] = np.arange(m, dtype=np.int32)
-        m_pad = _round_up(max(m, 1), LANES)
-        n_blocks = m_pad // LANES
-        # per-block depth = max degree among its 128 ranks (>= 1)
-        deg_pad = np.zeros(m_pad, dtype=np.int32)
-        deg_pad[:m] = deg[rank_order]
-        depth = np.maximum(deg_pad.reshape(n_blocks, LANES).max(axis=1), 1)
-        off = np.concatenate([[0], np.cumsum(depth)]).astype(np.int32)
-        S = int(off[-1])
+        rank, off64, depth, n_blocks = _stack_layout(A)
+        S = max(int(off64[-1]), int(min_srows))
+        require(S * LANES < 2**31, PlanError,
+                f"lane stack overflows int32 slots (S={S}); one row's nnz "
+                f"is too extreme for a single routed plan")
+        off = off64.astype(np.int32)
+        m_pad = n_blocks * LANES
         # nnz slot: j-th entry of row r (CSR position - row start) stacks at
         # sublane off[block] + j, lane rank % 128
         j_in_row = np.arange(nnz, dtype=np.int32) - np.repeat(
             A.row_ptr[:-1].astype(np.int32), A.row_nnz)
         rk = rank[rows]
         rslot = (off[rk // LANES] + j_in_row) * LANES + rk % LANES
-        brow_ids = np.repeat(np.arange(n_blocks, dtype=np.int32), depth)
+        brow_ids = np.concatenate([
+            np.repeat(np.arange(n_blocks, dtype=np.int32), depth),
+            # stack pad rows attach to the last block (stays sorted; the
+            # routed pad slots carry zeros, so they add nothing)
+            np.full(S - int(off64[-1]), n_blocks - 1, dtype=np.int32)])
 
         # ---- route 1: gather order -> lane-stack order ----
         N = routable_size(max(T_g * SLAB, S * LANES))
@@ -237,10 +292,13 @@ def _gathered_contrib(plan: RoutedPlan, x: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((1, LANES, LANES), lambda t, gs: (t, 0, 0)),
     )
+    from .route import vma_union
     out = pl.pallas_call(
         _gather_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T_g, LANES, LANES), x_slabs.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (T_g, LANES, LANES), x_slabs.dtype,
+            vma=vma_union(plan.gslab, plan.gidx, plan.gvals, x)),
         interpret=_interpret(),
     )(plan.gslab, x_slabs, plan.gidx, plan.gvals.astype(x_slabs.dtype))
     return out.reshape(-1)

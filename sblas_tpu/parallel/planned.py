@@ -36,9 +36,9 @@ from ..config import DEFAULT, SBlasConfig
 from ..containers import CsrMatrix
 from ..ops.bsr import BsrPlan, bell_arrays, bell_stats, spmm_bsr, spmv_bsr
 from ..ops.dia import DiaPlan, dia_arrays, spmm_dia, spmv_dia
-from ..ops.plans import EllPlan, ell_arrays
-from ..ops.spmm import spmm_ell
-from ..ops.spmv import spmv_ell
+from ..ops.plans import CooPlan, EllPlan, ell_arrays
+from ..ops.spmm import spmm_coo, spmm_ell
+from ..ops.spmv import spmv_coo, spmv_ell
 from ..partition import RowBlocks, partition_row_blocks
 from ..utils.errors import PartitionError, ShapeError, require
 from .mesh import DEFAULT_AXIS
@@ -103,19 +103,34 @@ def _unstack(plan):
 
 
 def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
-                        kind: str = None,
+                        kind: str = None, op: str = None,
                         config: SBlasConfig = DEFAULT) -> RowPlanShards:
     """nnz-balanced row-granular shards, each laid out as a fast plan.
 
-    `kind` in {"bsr", "ell", "dia", None}; None picks BELL when the global
-    structure is block-friendly, ELL otherwise."""
+    `kind` in {"bsr", "ell", "dia", "routed", "coo", None}; None picks BELL
+    when the global structure is block-friendly, ELL when row occupancy is
+    balanced (same `EllPlan.is_profitable` blowup guard as `make_plan` —
+    a power-law shard must NOT allocate band_rows x max_row_nnz slots),
+    routed for large unstructured matrices when `op="spmv"` (RoutedPlan is
+    SpMV-only), COO segments otherwise."""
     require(n_shards >= 1, PartitionError, f"bad n_shards {n_shards}")
     bounds = _row_boundaries(A, n_shards)
     band_rows = _round_up(int(np.max(bounds[1:] - bounds[:-1])) or 1, 128)
 
     if kind is None:
-        kind = ("bsr" if bell_stats(A, config.bsr_block)["blowup"]
-                <= config.bsr_blowup_limit else "ell")
+        from ..ops.rspmv import RoutedPlan
+        if (bell_stats(A, config.bsr_block)["blowup"]
+                <= config.bsr_blowup_limit):
+            kind = "bsr"
+        elif EllPlan.is_profitable(A, config):
+            kind = "ell"
+        elif op == "spmv" and RoutedPlan.is_profitable(A, config):
+            kind = "routed"
+        else:
+            kind = "coo"
+    if kind == "routed":
+        return _partition_routed(A, n_shards, bounds, band_rows,
+                                 dtype=dtype, config=config)
     locals_ = [_local_csr(A, int(bounds[s]), int(bounds[s + 1]), band_rows)
                for s in range(n_shards)]
 
@@ -149,6 +164,24 @@ def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
             vals, offs_t = dia_arrays(sub, offsets=offs, n_rows=band_rows)
             plans.append(DiaPlan(jnp.asarray(vals, dtype), offs_t,
                                  (band_rows, A.shape[1]), A.nnz))
+    elif kind == "coo":
+        # safe universal fallback: per-shard padded row-sorted COO (tier-0
+        # segment-sum per shard, but through the same stacked-plan program)
+        nnz_pad = _round_up(max(max(sub.nnz for sub in locals_), 1),
+                            config.nnz_tile)
+        plans = []
+        for sub in locals_:
+            coo = sub.to_coo()
+            pad = nnz_pad - sub.nnz
+            rows = np.concatenate([coo.row_idx,
+                                   np.full(pad, band_rows - 1, np.int64)])
+            cols = np.concatenate([coo.col_idx, np.zeros(pad, np.int64)])
+            vals = np.concatenate(
+                [coo.values, np.zeros(pad, coo.values.dtype)])
+            plans.append(CooPlan(jnp.asarray(rows, jnp.int32),
+                                 jnp.asarray(cols, jnp.int32),
+                                 jnp.asarray(vals, dtype),
+                                 (band_rows, A.shape[1]), A.nnz))
     else:
         raise PartitionError(f"unknown plan kind {kind!r}")
 
@@ -159,15 +192,51 @@ def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
         band_rows=band_rows, kind=kind)
 
 
+def _partition_routed(A: CsrMatrix, n_shards: int, bounds: np.ndarray,
+                      band_rows: int, dtype, config) -> RowPlanShards:
+    """Per-shard RoutedPlan over row-granular shards with shared static
+    sizes: distributed unstructured SpMV rides the framework's fastest
+    single-chip engine instead of falling back to tier-0 COO segment-sum —
+    matching the reference's delegation of per-GPU compute to cuSPARSE
+    regardless of structure (spmv.h:104-106).
+
+    All shards are padded to the max natural (n_gtiles, n_srows), which
+    makes every static field — and hence the route-layer schedules — equal,
+    so the plans tree-stack into one shard_map program."""
+    from ..ops.rspmv import RoutedPlan, routed_shard_sizes
+    locals_ = [_local_csr(A, int(bounds[s]), int(bounds[s + 1]), band_rows)
+               for s in range(n_shards)]
+    sizes = [routed_shard_sizes(sub) for sub in locals_]
+    tg = max(t for t, _ in sizes)
+    sr = max(s for _, s in sizes)
+    plans = [dataclasses.replace(
+        RoutedPlan.from_csr(sub, dtype=dtype, config=config,
+                            min_gtiles=tg, min_srows=sr), nnz=A.nnz)
+        for sub in locals_]
+    require(len({p.schedule for p in plans}) == 1
+            and len({p.unrank_schedule for p in plans}) == 1,
+            PartitionError, "routed shard schedules diverged despite "
+            "shared static sizes (planner bug)")
+    return RowPlanShards(
+        plan=_stack_plans(plans),
+        row_offsets=jnp.asarray(bounds[:-1], jnp.int32).reshape(-1, 1),
+        shape=A.shape, nnz=A.nnz, n_shards=n_shards,
+        band_rows=band_rows, kind="routed")
+
+
 def _local_spmm(kind, plan, B):
     z = jnp.zeros((plan.shape[0], B.shape[1]), plan.vals.dtype)
-    fn = {"bsr": spmm_bsr, "ell": spmm_ell, "dia": spmm_dia}[kind]
+    fn = {"bsr": spmm_bsr, "ell": spmm_ell, "dia": spmm_dia,
+          "coo": spmm_coo}[kind]
     return fn(plan, B, 1.0, 0.0, z)
 
 
 def _local_spmv(kind, plan, x):
-    z = jnp.zeros(plan.shape[0], plan.vals.dtype)
-    fn = {"bsr": spmv_bsr, "ell": spmv_ell, "dia": spmv_dia}[kind]
+    from ..ops.rspmv import spmv_routed
+    val_dtype = (plan.gvals if kind == "routed" else plan.vals).dtype
+    z = jnp.zeros(plan.shape[0], val_dtype)
+    fn = {"bsr": spmv_bsr, "ell": spmv_ell, "dia": spmv_dia,
+          "coo": spmv_coo, "routed": spmv_routed}[kind]
     return fn(plan, x, 1.0, 0.0, z)
 
 
@@ -215,10 +284,14 @@ def _mode2p_spmv_program(mesh: Mesh, axis: str, reduce: str, kind: str,
         return beta * y + alpha * mine
 
     y_spec = P() if reduce == "psum" else P(axis)
+    # routed: the Pallas scalar-prefetch index map slices the device-varying
+    # gslab table with the (invariant) grid index — sound, but the vma
+    # checker cannot prove it, so it is disabled for this program only
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(axis), P(), y_spec, P(), P()),
-        out_specs=y_spec))
+        out_specs=y_spec,
+        check_vma=(kind != "routed")))
 
 
 def spmm_mode2_planned(shards: RowPlanShards, B, alpha, beta, C, mesh: Mesh,
@@ -228,6 +301,10 @@ def spmm_mode2_planned(shards: RowPlanShards, B, alpha, beta, C, mesh: Mesh,
 
     Same collective contract as `modes.spmm_mode2`; per-shard compute runs
     the fast layouts instead of COO segment-sum."""
+    require(shards.kind != "routed", PartitionError,
+            "routed shards are SpMV-only (RoutedPlan has no K-wide analog);"
+            " build SpMM shards with partition_row_plans(kind=...) in "
+            "{'bsr','ell','dia','coo'}")
     require(reduce in ("psum", "psum_scatter"), PartitionError,
             f"bad reduce {reduce!r}")
     n = mesh.shape[axis]

@@ -32,6 +32,13 @@ class PartitionError(SBlasError):
     """Invalid distribution request (bad shard count, unsupported policy)."""
 
 
+class PlanError(SBlasError):
+    """A plan cannot be built for this matrix (size guards, int32 index
+    overflow, layout preconditions).  Unlike a plain assert this survives
+    `python -O`, so plan-size overflows fail loudly instead of silently
+    corrupting int32 slot arithmetic."""
+
+
 def require(cond: bool, exc: type, msg: str) -> None:
     """Check a precondition; raise `exc(msg)` when it fails."""
     if not cond:

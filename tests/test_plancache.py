@@ -40,3 +40,38 @@ def test_roundtrip_routed(tmp_path):
     a = spmv(plan, jnp.asarray(x.values), 2.0, 3.0, jnp.asarray(y.values))
     b = spmv(plan2, jnp.asarray(x.values), 2.0, 3.0, jnp.asarray(y.values))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dtype_guard_rejects_canonicalization(tmp_path):
+    """A plan whose stored dtype the current config cannot reproduce must
+    fail loudly, not silently downcast (ADVICE r1)."""
+    import json
+
+    from sblas_tpu.utils.errors import FormatError
+
+    A = fem_banded_like(n=300, half_band=4, dtype=np.float64)
+    plan = make_plan(A, dtype=jnp.float64, force="ell")
+    p = tmp_path / "guard.npz"
+    save_plan(str(p), plan)
+    # tamper the recorded intent: claim the values were float16 — the
+    # loader must notice loaded-dtype != recorded-dtype and raise
+    with np.load(str(p)) as z:
+        blobs = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(blobs["__meta__"]).decode())
+    key = next(k for k in meta["__dtypes__"] if meta["__dtypes__"][k]
+               == "float64")
+    meta["__dtypes__"][key] = "float16"
+    blobs["__meta__"] = np.frombuffer(json.dumps(meta).encode(),
+                                      dtype=np.uint8)
+    np.savez_compressed(str(p), **blobs)
+    with pytest.raises(FormatError):
+        load_plan(str(p))
+
+
+def test_dtype_recorded(tmp_path):
+    A = fem_banded_like(n=300, half_band=4, dtype=np.float64)
+    plan = make_plan(A, dtype=jnp.float64, force="coo")
+    p = tmp_path / "rec.npz"
+    save_plan(str(p), plan)
+    plan2 = load_plan(str(p))
+    assert plan2.vals.dtype == plan.vals.dtype

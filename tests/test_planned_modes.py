@@ -82,3 +82,65 @@ def test_default_kind_selection(ragged):
     wide_band = fem_banded_like(n=700, half_band=40, dtype=np.float64)
     assert partition_row_plans(wide_band, 4).kind == "bsr"
     assert partition_row_plans(ragged, 4).kind == "ell"
+
+
+def test_default_kind_skew_no_ell_blowup(mesh):
+    """kind=None on a power-law matrix must NOT pick ELL (VERDICT weak#1:
+    band_rows x max_row_nnz allocation) — it falls back to COO segments,
+    and the result still verifies."""
+    A = adversarial_skew(m=4096, n=4096, heavy_rows=4, heavy_nnz=2048,
+                         dtype=np.float64)
+    shards = partition_row_plans(A, N_DEV, dtype=jnp.float64)
+    assert shards.kind == "coo"
+    # the stacked plan must stay near the nnz footprint, not m*max_row_nnz
+    total_slots = shards.plan.vals.size
+    assert total_slots < 4 * A.nnz + N_DEV * 1024
+    x = DenseVector.random(A.width)
+    y = DenseVector.constant(A.height, 1.0)
+    got = sync_to_host(spmv_dist_planned(
+        shards, jnp.asarray(x.values), 2.0, 1.0, jnp.asarray(y.values),
+        mesh))
+    assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 1.0, y))
+
+
+@pytest.mark.parametrize("reduce", ["psum", "psum_scatter"])
+def test_spmv_dist_planned_routed(mesh, reduce):
+    """Distributed SpMV rides per-shard RoutedPlans (VERDICT next#2)."""
+    from sblas_tpu.config import SBlasConfig
+    cfg = SBlasConfig(routed_min_nnz=1000, routed_min_width=512)
+    A = uniform_random(1500, 1024, nnz_per_row=4, seed=3, dtype=np.float64)
+    shards = partition_row_plans(A, N_DEV, dtype=jnp.float64, kind="routed",
+                                 config=cfg)
+    assert shards.kind == "routed"
+    x = DenseVector.random(A.width)
+    y = DenseVector.constant(A.height, 1.0)
+    got = sync_to_host(spmv_dist_planned(
+        shards, jnp.asarray(x.values), 3.0, 4.0, jnp.asarray(y.values),
+        mesh, reduce=reduce))
+    assert_equal(np.asarray(got), spmv_cpu(A, x, 3.0, 4.0, y))
+
+
+def test_routed_heuristic_needs_spmv_op():
+    """kind=None picks routed only under op='spmv' (RoutedPlan is
+    SpMV-only); without it the safe COO fallback is chosen."""
+    from sblas_tpu.config import SBlasConfig
+    cfg = SBlasConfig(routed_min_nnz=1000, routed_min_width=512)
+    A = adversarial_skew(m=1500, n=1024, heavy_rows=2, heavy_nnz=512,
+                         seed=3, dtype=np.float64)
+    assert partition_row_plans(A, 4, kind=None, op="spmv",
+                               config=cfg).kind == "routed"
+    assert partition_row_plans(A, 4, kind=None, config=cfg).kind == "coo"
+
+
+def test_routed_shards_reject_spmm(mesh):
+    from sblas_tpu.config import SBlasConfig
+    from sblas_tpu.utils.errors import PartitionError
+    cfg = SBlasConfig(routed_min_nnz=1000, routed_min_width=512)
+    A = uniform_random(1500, 1024, nnz_per_row=4, seed=3, dtype=np.float64)
+    shards = partition_row_plans(A, N_DEV, dtype=jnp.float64, kind="routed",
+                                 config=cfg)
+    B = DenseMatrix.random(A.width, 5)
+    C = DenseMatrix.constant(A.height, 5, 1.0)
+    with pytest.raises(PartitionError):
+        spmm_mode2_planned(shards, jnp.asarray(B.values), 1.0, 1.0,
+                           jnp.asarray(C.values), mesh)

@@ -74,3 +74,35 @@ def test_route_identity_and_reversal(rng):
     assert np.array_equal(apply_route_np(prog, x), x)
     prog_r = build_route(np.arange(n)[::-1].copy())
     assert np.array_equal(apply_route_np(prog_r, x), x[::-1])
+
+
+def test_edge_color_honors_no_native_env(monkeypatch):
+    """SBLAS_NO_NATIVE=1 must route edge coloring through the pure-python
+    path (ADVICE r1: route.py bypassed the kill switch)."""
+    import numpy as np
+
+    from sblas_tpu.io import native
+    from sblas_tpu.ops.route import edge_color
+
+    monkeypatch.setenv("SBLAS_NO_NATIVE", "1")
+    assert not native.available()
+    calls = []
+    orig = native.edge_color
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(native, "edge_color", spy)
+    rng = np.random.RandomState(0)
+    d = 4
+    # d-regular bipartite multigraph: d perfect matchings
+    n = 16
+    src = np.concatenate([np.arange(n, dtype=np.int32) for _ in range(d)])
+    dst = np.concatenate([rng.permutation(n).astype(np.int32)
+                          for _ in range(d)])
+    colors = edge_color(src, dst, n, n, d)
+    assert not calls, "native edge_color ran despite SBLAS_NO_NATIVE=1"
+    # valid coloring: per (node, color) at most one edge on each side
+    for side in (src, dst):
+        assert len({(int(s), int(c)) for s, c in zip(side, colors)}) == len(src)
