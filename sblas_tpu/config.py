@@ -72,6 +72,15 @@ class SBlasConfig:
     routed_min_nnz: int = 262_144
     routed_min_width: int = 65_536
 
+    # Hub-column peel threshold for the routed engine: columns with at
+    # least this many nonzeros bypass the slab-bucket gather (their
+    # entries fill whole 128-lane rows that broadcast one x value — a
+    # row-granular gather, 128x cheaper per element than slab slots they
+    # would otherwise blow up).  Web-scale in-degree skew makes this
+    # mandatory: without it one 40k-in-degree hub inflates the gather
+    # tiling ~16x.  Values < 1 disable peeling.
+    routed_peel_threshold: int = 128
+
     @staticmethod
     def from_env() -> "SBlasConfig":
         def _f(name: str, default: float) -> float:
@@ -94,6 +103,7 @@ class SBlasConfig:
             dia_blowup_limit=_f("SBLAS_DIA_BLOWUP_LIMIT", 3.0),
             routed_min_nnz=_i("SBLAS_ROUTED_MIN_NNZ", 262_144),
             routed_min_width=_i("SBLAS_ROUTED_MIN_WIDTH", 65_536),
+            routed_peel_threshold=_i("SBLAS_ROUTED_PEEL", 128),
         )
 
 

@@ -39,14 +39,17 @@ _BSR_PALLAS_MIN_K = 256
 def make_plan(A, dtype=None, config=DEFAULT, force=None, op=None):
     """Choose the best single-chip layout for CSR matrix `A`.
 
-    Heuristic order: DIA (shift-and-FMA, SpMV planning only) when the
-    matrix is banded, routed (three-stage gather/route/stack engine, SpMV
-    planning only) for large unstructured matrices, BSR (MXU blocks) when
-    the structure is block-friendly, ELL when rows are balanced,
+    Heuristic order for SpMV planning: DIA (shift-and-FMA) when banded,
+    routed (three-stage gather/route/stack engine) for large unstructured
+    matrices, then the mixed-use ladder.  For SpMM / mixed use: BSR (MXU
+    blocks) when block-friendly, DIA when the diagonal count is small
+    (measured v5e on the s3dkq4m2 shell proxy, K=64: DIA 2.0 ms vs ELL
+    14.9 ms vs tier-0 57 ms — B re-reads per diagonal beat per-slot row
+    gathers whenever blowup is low), ELL when rows are balanced,
     windowed-COO otherwise, plain COO as the universal fallback.  `force`
     in {"dia", "routed", "bsr", "ell", "wcoo", "coo"} overrides; `op` in
-    {None, "spmv", "spmm"} biases the choice toward that kernel (DIA and
-    routed are SpMV-shaped and never auto-chosen for mixed use)."""
+    {None, "spmv", "spmm"} biases the choice toward that kernel (routed is
+    SpMV-only and never auto-chosen for mixed use)."""
     import jax.numpy as jnp
     dtype = dtype or jnp.float32
     kind = force
@@ -59,6 +62,8 @@ def make_plan(A, dtype=None, config=DEFAULT, force=None, op=None):
             kind = "routed"
         elif bell_stats(A, config.bsr_block)["blowup"] <= config.bsr_blowup_limit:
             kind = "bsr"
+        elif DiaPlan.is_profitable(A, config):
+            kind = "dia"
         elif EllPlan.is_profitable(A, config):
             kind = "ell"
         else:

@@ -104,17 +104,62 @@ def _stack_layout(A: CsrMatrix):
     return rank, off64, depth, n_blocks
 
 
-def routed_shard_sizes(A: CsrMatrix):
-    """Natural (n_gtiles, n_srows) a RoutedPlan over A would use — the
-    cheap prefix of the plan build (no edge coloring).  The distributed
-    layer probes every shard with this, takes element-wise maxima, and
-    passes them back as from_csr(min_gtiles=..., min_srows=...) so all
-    shard plans share one static shape."""
+def _peel_split(cols: np.ndarray, n: int, nnz: int, threshold: int):
+    """Boolean mask of entries whose column has >= threshold nonzeros
+    (the hub-peel set); all-False when peeling is disabled."""
+    if threshold < 1 or nnz == 0:
+        return np.zeros(nnz, dtype=bool)
+    cnt = np.bincount(cols, minlength=n)
+    return cnt[cols] >= threshold
+
+
+def _peel_layout(pcols: np.ndarray, pvals_in: np.ndarray):
+    """Lay peeled entries out as whole 128-lane rows per hub column.
+
+    Entry j of hub c lands at row base[c] + j//128, lane j%128; every row
+    carries ONE column id, so the device gathers x once per ROW (128x
+    fewer addressed elements than slot-granular gather) and broadcasts.
+    Returns (pslot (k,) i64 within-peel slots ordered like pcols sorted,
+    order (k,), prow_col (R_p,) i32, pvals (R_p*128,) values, R_p)."""
+    order = np.argsort(pcols, kind="stable")
+    pc_s = pcols[order]
+    k = len(pc_s)
+    j_in_col = (np.arange(k, dtype=np.int64)
+                - np.searchsorted(pc_s, pc_s, side="left"))
+    uniq, first = np.unique(pc_s, return_index=True)
+    cnt_p = np.diff(np.append(first, k))
+    rows_per_col = -(-cnt_p // LANES)
+    row_base = np.concatenate([[0], np.cumsum(rows_per_col)])
+    col_group = np.repeat(np.arange(len(uniq), dtype=np.int64), cnt_p)
+    prow = row_base[col_group] + j_in_col // LANES
+    pslot = prow * LANES + j_in_col % LANES
+    R_p = int(row_base[-1])
+    prow_col = np.repeat(uniq.astype(np.int32), rows_per_col)
+    pvals = np.zeros(R_p * LANES, dtype=pvals_in.dtype)
+    pvals[pslot] = pvals_in[order]
+    return pslot, order, prow_col, pvals, R_p
+
+
+def routed_shard_sizes(A: CsrMatrix, config: SBlasConfig = DEFAULT):
+    """Natural (n_gtiles, n_srows, n_prows) a RoutedPlan over A would use
+    — the cheap prefix of the plan build (no edge coloring).  The
+    distributed layer probes every shard with this, takes element-wise
+    maxima, and passes them back as from_csr(min_gtiles=..., min_srows=...,
+    min_prows=...) so all shard plans share one static shape."""
     coo = A.to_coo()
     cols = coo.col_idx.astype(np.int32)
-    _, tiles_per_slab, _ = _gather_layout(cols, A.nnz)
+    peeled = _peel_split(cols, A.shape[1], A.nnz,
+                         config.routed_peel_threshold)
+    res = cols[~peeled]
+    _, tiles_per_slab, _ = _gather_layout(res, len(res))
     _, off64, _, _ = _stack_layout(A)
-    return int(tiles_per_slab.sum()), int(off64[-1])
+    pc = cols[peeled]
+    if len(pc):
+        _, cnts = np.unique(pc, return_counts=True)
+        n_prows = int((-(-cnts // LANES)).sum())
+    else:
+        n_prows = 0
+    return int(tiles_per_slab.sum()), int(off64[-1]), n_prows
 
 
 # ---------------------------------------------------------------------------
@@ -122,11 +167,11 @@ def routed_shard_sizes(A: CsrMatrix):
 # ---------------------------------------------------------------------------
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["gslab", "gidx", "gvals", "tables", "brow_ids",
-                      "unrank_tables"],
+         data_fields=["gslab", "gidx", "gvals", "pvals", "prow_col",
+                      "tables", "brow_ids", "unrank_tables"],
          meta_fields=["schedule", "unrank_schedule", "shape", "nnz",
-                      "n_gtiles", "n_srows", "n_blocks", "route_n",
-                      "unrank_n"])
+                      "n_gtiles", "n_srows", "n_prows", "n_blocks",
+                      "route_n", "unrank_n"])
 @dataclasses.dataclass(frozen=True)
 class RoutedPlan:
     """Plan for the three-stage routed SpMV (see module docstring).
@@ -134,14 +179,24 @@ class RoutedPlan:
     gslab: (T_g,) i32        x-slab id per gather tile
     gidx:  (T_g,128,128) i32 in-slab lane per slot (pads 0)
     gvals: (T_g,128,128)     values per slot (pads 0)
+    pvals: (R_p,128)         peeled hub-column values (pads 0)
+    prow_col: (R_p,) i32     the single x column each peeled row reads
     tables / schedule        route layers: gather order -> lane stack
     brow_ids: (S,) i32       block id per stack sublane row (sorted)
     unrank_tables / unrank_schedule  route layers: rank order -> row order
-    """
+
+    Hub columns (in-degree >= config.routed_peel_threshold) are *peeled*
+    out of the slab-bucket gather: their entries fill whole 128-lane rows
+    that each broadcast one x element, so the contribution costs one
+    row-granular gather instead of inflating the per-bucket tile count
+    (web-graph in-degree skew otherwise blows the gather fill up ~16x).
+    The route source space is [gather slots | peeled slots]."""
 
     gslab: jax.Array
     gidx: jax.Array
     gvals: jax.Array
+    pvals: jax.Array
+    prow_col: jax.Array
     tables: Tuple
     brow_ids: jax.Array
     unrank_tables: Tuple
@@ -151,13 +206,15 @@ class RoutedPlan:
     nnz: int
     n_gtiles: int
     n_srows: int
+    n_prows: int
     n_blocks: int
     route_n: int
     unrank_n: int
 
     @property
     def gather_fill(self) -> float:
-        return self.n_gtiles * SLAB / max(self.nnz, 1)
+        return ((self.n_gtiles * SLAB + self.n_prows * LANES)
+                / max(self.nnz, 1))
 
     @property
     def stack_fill(self) -> float:
@@ -166,13 +223,14 @@ class RoutedPlan:
     @classmethod
     def from_csr(cls, A: CsrMatrix, dtype=jnp.float32,
                  config: SBlasConfig = DEFAULT, *, min_gtiles: int = 0,
-                 min_srows: int = 0) -> "RoutedPlan":
-        """`min_gtiles` / `min_srows` pad the gather-tile count and lane-
-        stack depth up to shared static sizes — the distributed layer uses
-        them so per-shard routed plans stack into one shard_map program
-        (pad tiles hold val=0 and contribute nothing; the route program's
-        layer structure depends only on the padded element count, so equal
-        sizes give equal schedules across shards)."""
+                 min_srows: int = 0, min_prows: int = 0) -> "RoutedPlan":
+        """`min_gtiles` / `min_srows` / `min_prows` pad the gather-tile
+        count, lane-stack depth and peeled-row count up to shared static
+        sizes — the distributed layer uses them so per-shard routed plans
+        stack into one shard_map program (pad tiles hold val=0 and
+        contribute nothing; the route program's layer structure depends
+        only on the padded element count, so equal sizes give equal
+        schedules across shards)."""
         from ..utils.errors import PlanError, require
         m, n = A.shape
         coo = A.to_coo()  # CSR order (rows ascending)
@@ -183,23 +241,43 @@ class RoutedPlan:
         # a large penalty for 64-bit random access (14x on scatters)
         rows = coo.row_idx.astype(np.int32)
         cols = coo.col_idx.astype(np.int32)
+        np_val = np.dtype(jnp.dtype(dtype).name)
+        vals_np = coo.values.astype(np_val)
+
+        # ---- hub peel: high-in-degree columns bypass the slab buckets ----
+        peeled = _peel_split(cols, n, nnz, config.routed_peel_threshold)
+        res_idx = np.flatnonzero(~peeled)
+        pe_idx = np.flatnonzero(peeled)
+        res_cols = cols[res_idx]
 
         # ---- gather tiling: per (slab, bucket) runs of <= 128 lanes ----
-        lane = (cols % LANES).astype(np.int32)
-        gslot, tiles_per_slab, n_slabs = _gather_layout(cols, nnz)
+        gslot_res, tiles_per_slab, n_slabs = _gather_layout(
+            res_cols, len(res_idx))
         T_g = max(int(tiles_per_slab.sum()), int(min_gtiles))
-        require(T_g * SLAB < 2**31, PlanError,
-                f"gather tiling overflows int32 slots (T_g={T_g}); the "
-                f"matrix is too large/ragged for a single routed plan")
 
-        np_val = np.dtype(jnp.dtype(dtype).name)
         gidx = np.zeros(T_g * SLAB, dtype=np.int32)
         gvals = np.zeros(T_g * SLAB, dtype=np_val)
-        gidx[gslot] = lane
-        gvals[gslot] = coo.values.astype(np_val)
+        gidx[gslot_res] = (res_cols % LANES).astype(np.int32)
+        gvals[gslot_res] = vals_np[res_idx]
         gslab_arr = np.repeat(
             np.arange(n_slabs, dtype=np.int32), tiles_per_slab)
         gslab_arr = np.pad(gslab_arr, (0, T_g - len(gslab_arr)))
+
+        # ---- peeled layout: whole 128-lane rows per hub column ----
+        pslot, p_order, prow_col, pvals_flat, R_p = _peel_layout(
+            cols[pe_idx], vals_np[pe_idx])
+        R_p = max(R_p, int(min_prows))
+        prow_col = np.pad(prow_col, (0, R_p - len(prow_col)))
+        pvals_flat = np.pad(pvals_flat, (0, R_p * LANES - len(pvals_flat)))
+        require(T_g * SLAB + R_p * LANES < 2**31, PlanError,
+                f"gather tiling overflows int32 slots (T_g={T_g}, "
+                f"R_p={R_p}); the matrix is too large/ragged for a single "
+                f"routed plan")
+
+        # global source slots: [gather space | peeled space]
+        gslot = np.empty(nnz, dtype=np.int32)
+        gslot[res_idx] = gslot_res
+        gslot[pe_idx[p_order]] = (T_g * SLAB + pslot).astype(np.int32)
 
         # ---- reduce layout: degree-sorted lane stack ----
         rank, off64, depth, n_blocks = _stack_layout(A)
@@ -221,8 +299,8 @@ class RoutedPlan:
             # routed pad slots carry zeros, so they add nothing)
             np.full(S - int(off64[-1]), n_blocks - 1, dtype=np.int32)])
 
-        # ---- route 1: gather order -> lane-stack order ----
-        N = routable_size(max(T_g * SLAB, S * LANES))
+        # ---- route 1: [gather | peeled] order -> lane-stack order ----
+        N = routable_size(max(T_g * SLAB + R_p * LANES, S * LANES))
         perm = np.full(N, -1, dtype=np.int32)
         perm[rslot] = gslot
         src_used = np.zeros(N, dtype=bool)
@@ -244,12 +322,14 @@ class RoutedPlan:
             gslab=jnp.asarray(gslab_arr),
             gidx=jnp.asarray(gidx.reshape(T_g, LANES, LANES)),
             gvals=jnp.asarray(gvals.reshape(T_g, LANES, LANES), dtype),
+            pvals=jnp.asarray(pvals_flat.reshape(R_p, LANES), dtype),
+            prow_col=jnp.asarray(prow_col, jnp.int32),
             tables=_tables(prog),
             brow_ids=jnp.asarray(brow_ids),
             unrank_tables=_tables(prog2),
             schedule=prog.schedule,
             unrank_schedule=prog2.schedule,
-            shape=A.shape, nnz=nnz, n_gtiles=T_g, n_srows=S,
+            shape=A.shape, nnz=nnz, n_gtiles=T_g, n_srows=S, n_prows=R_p,
             n_blocks=n_blocks, route_n=prog.n, unrank_n=prog2.n)
 
     @classmethod
@@ -309,6 +389,13 @@ def spmv_routed(plan: RoutedPlan, x: jax.Array, alpha, beta,
                 y: jax.Array) -> jax.Array:
     m = plan.shape[0]
     contrib = _gathered_contrib(plan, x)
+    if plan.n_prows:
+        # peeled hub columns: one x element per 128-lane row (row-granular
+        # gather — the per-ROW cost XLA charges makes this 128x cheaper
+        # than slot-granular addressing), broadcast across the row
+        xp = jnp.take(x, plan.prow_col, axis=0).astype(contrib.dtype)
+        pc = plan.pvals.astype(contrib.dtype) * xp[:, None]
+        contrib = jnp.concatenate([contrib, pc.reshape(-1)])
     contrib = jnp.pad(contrib, (0, plan.route_n - contrib.shape[0]))
     routed = apply_route(plan.schedule, contrib, plan.tables)
     stack = routed[: plan.n_srows * LANES].reshape(plan.n_srows, LANES)

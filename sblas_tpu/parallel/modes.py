@@ -43,9 +43,11 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.bsr import BsrPlan, spmm_bsr
+from ..ops.dia import DiaPlan, spmm_dia
 from ..ops.plans import EllPlan
 from ..ops.spmm import segment_spmm, spmm_ell
 from ..ops.spmv import segment_spmv
+from ..ops.wcoo import WcooPlan, spmm_wcoo
 from ..partition import CooSegments, RowBlocks
 from ..utils.errors import PartitionError, ShapeError, require
 from .mesh import DEFAULT_AXIS
@@ -68,6 +70,10 @@ def _mode1_program(mesh: Mesh, axis: str):
     def fn(plan, B_blk, C_blk, alpha, beta):
         if isinstance(plan, BsrPlan):
             return spmm_bsr(plan, B_blk, alpha, beta, C_blk)
+        if isinstance(plan, DiaPlan):
+            return spmm_dia(plan, B_blk, alpha, beta, C_blk)
+        if isinstance(plan, WcooPlan):
+            return spmm_wcoo(plan, B_blk, alpha, beta, C_blk)
         if isinstance(plan, EllPlan):
             return spmm_ell(plan, B_blk, alpha, beta, C_blk)
         ab = segment_spmm(plan.rows, plan.cols, plan.vals, B_blk,

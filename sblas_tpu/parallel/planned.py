@@ -206,12 +206,14 @@ def _partition_routed(A: CsrMatrix, n_shards: int, bounds: np.ndarray,
     from ..ops.rspmv import RoutedPlan, routed_shard_sizes
     locals_ = [_local_csr(A, int(bounds[s]), int(bounds[s + 1]), band_rows)
                for s in range(n_shards)]
-    sizes = [routed_shard_sizes(sub) for sub in locals_]
-    tg = max(t for t, _ in sizes)
-    sr = max(s for _, s in sizes)
+    sizes = [routed_shard_sizes(sub, config) for sub in locals_]
+    tg = max(t for t, _, _ in sizes)
+    sr = max(s for _, s, _ in sizes)
+    pr = max(p for _, _, p in sizes)
     plans = [dataclasses.replace(
         RoutedPlan.from_csr(sub, dtype=dtype, config=config,
-                            min_gtiles=tg, min_srows=sr), nnz=A.nnz)
+                            min_gtiles=tg, min_srows=sr, min_prows=pr),
+        nnz=A.nnz)
         for sub in locals_]
     require(len({p.schedule for p in plans}) == 1
             and len({p.unrank_schedule for p in plans}) == 1,

@@ -33,8 +33,8 @@ def _sync(x) -> None:
 
 
 @partial(jax.jit, static_argnames=("step", "iters"))
-def _looped(carry, step, iters: int):
-    return lax.fori_loop(0, iters, lambda i, c: step(c), carry)
+def _looped(carry, step, iters: int, *args):
+    return lax.fori_loop(0, iters, lambda i, c: step(c, *args), carry)
 
 
 def dispatch_overhead_ms(n: int = 10) -> float:
@@ -50,18 +50,22 @@ def dispatch_overhead_ms(n: int = 10) -> float:
     return float(np.median(ts))
 
 
-def loop_time_ms(step, init_carry, iters: int = 32, reps: int = 5) -> float:
-    """Median per-iteration device time of `step` (carry -> carry).
+def loop_time_ms(step, init_carry, iters: int = 32, reps: int = 5,
+                 args: tuple = ()) -> float:
+    """Median per-iteration device time of `step` (carry[, *args] -> carry).
 
     `step` must consume its carry in the hot path (see module docstring);
     it is hashed as a static jit argument, so pass a module-level function
-    or a stable closure."""
+    or a stable closure.  Pass LARGE operands (plans!) through `args`, not
+    closure capture: captured arrays are embedded as HLO constants and the
+    remote-compile tunnel rejects big request bodies (HTTP 413 observed at
+    a few hundred MB of route tables)."""
     overhead = dispatch_overhead_ms()
-    _sync(_looped(init_carry, step, iters))  # compile + warm
+    _sync(_looped(init_carry, step, iters, *args))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _sync(_looped(init_carry, step, iters))
+        _sync(_looped(init_carry, step, iters, *args))
         ts.append((time.perf_counter() - t0) * 1e3)
     # min over reps (each rep already averages `iters` device executions):
     # the standard low-noise estimator — this host's shared TPU attachment

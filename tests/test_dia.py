@@ -74,10 +74,17 @@ def test_rectangular_tall_and_wide():
         assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))
 
 
-def test_make_plan_chooses_dia_for_spmv_only(banded):
+def test_make_plan_dia_policy(banded):
+    # SpMV planning: DIA first whenever profitable
     assert isinstance(make_plan(banded, op="spmv"), DiaPlan)
-    assert not isinstance(make_plan(banded), DiaPlan)
-    assert not isinstance(make_plan(banded, op="spmm"), DiaPlan)
+    # SpMM / mixed use: DIA when BELL is not profitable (measured v5e on
+    # the shell proxy: DIA 2.0 ms vs ELL 14.9 ms at K=64)
+    assert isinstance(make_plan(banded), DiaPlan)
+    assert isinstance(make_plan(banded, op="spmm"), DiaPlan)
+    # ... but the MXU BELL path still wins when the band is block-dense
+    from sblas_tpu.ops.bsr import BsrPlan
+    wide = fem_banded_like(n=700, half_band=40, dtype=np.float64)
+    assert isinstance(make_plan(wide, op="spmm"), BsrPlan)
 
 
 def test_make_plan_rejects_unbanded():

@@ -118,3 +118,62 @@ def _one_nnz(m):
     d = np.zeros((m, m))
     d[5, 9] = 1.5
     return d
+
+
+class TestHubPeel:
+    """Hub-column peeling: in-degree skew must not inflate the gather
+    tiling (web graphs have ~1e4-in-degree columns; without peeling one
+    hub costs ceil(in_deg/128) near-empty 16384-slot tiles)."""
+
+    def _hub_matrix(self, seed=9):
+        rng = np.random.RandomState(seed)
+        m = n = 4096
+        rows_u = np.repeat(np.arange(m, dtype=np.int64), 2)
+        cols_u = rng.randint(0, n, size=len(rows_u))
+        hub_rows = rng.choice(m, size=2000, replace=False).astype(np.int64)
+        rows = np.concatenate([rows_u, hub_rows])
+        cols = np.concatenate([cols_u, np.full(2000, 7, dtype=np.int64)])
+        vals = rng.random_sample(len(rows))
+        from sblas_tpu.containers import CooMatrix
+        return CooMatrix(rows, cols, vals, (m, n)).to_csr()
+
+    def test_peel_engages_and_verifies(self):
+        A = self._hub_matrix()
+        plan = RoutedPlan.from_csr(A, dtype=jnp.float64)
+        assert plan.n_prows >= 2000 // 128
+        assert plan.gather_fill < 8.0
+        x = DenseVector.random(A.width)
+        y = DenseVector.constant(A.height, 1.0)
+        got = spmv_routed(plan, jnp.asarray(x.values), 2.0, 3.0,
+                          jnp.asarray(y.values))
+        assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))
+
+    def test_peel_disabled_matches(self):
+        from sblas_tpu.config import SBlasConfig
+        A = self._hub_matrix()
+        cfg = SBlasConfig(routed_peel_threshold=0)
+        plan = RoutedPlan.from_csr(A, dtype=jnp.float64, config=cfg)
+        assert plan.n_prows == 0
+        x = DenseVector.random(A.width)
+        y = DenseVector.constant(A.height, 1.0)
+        got = spmv_routed(plan, jnp.asarray(x.values), 2.0, 3.0,
+                          jnp.asarray(y.values))
+        assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))
+
+    def test_all_peeled(self):
+        """Every column a hub (single dense column repeated)."""
+        from sblas_tpu.containers import CooMatrix
+        m = 600
+        rows = np.arange(m, dtype=np.int64)
+        cols = np.full(m, 3, dtype=np.int64)
+        vals = np.linspace(0.5, 1.5, m)
+        A = CooMatrix(rows, cols, vals, (m, 512)).to_csr()
+        from sblas_tpu.config import SBlasConfig
+        cfg = SBlasConfig(routed_peel_threshold=16)
+        plan = RoutedPlan.from_csr(A, dtype=jnp.float64, config=cfg)
+        assert plan.n_prows == -(-m // 128)
+        x = DenseVector.random(A.width)
+        y = DenseVector.constant(A.height, 1.0)
+        got = spmv_routed(plan, jnp.asarray(x.values), 1.0, 1.0,
+                          jnp.asarray(y.values))
+        assert_equal(np.asarray(got), spmv_cpu(A, x, 1.0, 1.0, y))
