@@ -9,9 +9,11 @@ Mirrors spmm_test_um.cu:165-190: same shape as spmm_test plus the trailing
 HBM per band; tuning=1 prefetches it wholly to HBM first (the reference's
 cudaMemAdvise/cudaMemPrefetchAsync mode, matrix_um.h:529-564).
 
-The distribution method argument is accepted for argv parity; the
-host-resident path is single-chip in this revision (the reference's UM
-path is likewise per-GPU residency tuning, not a new distribution).
+With n_devices > 1 the method argument selects the real distribution
+strategy over a device mesh (reference spmm_um.h:163-284): method 1
+replicates the host-resident A band-by-band against column-sharded B/C
+(zero collectives); method 2 nnz-shards A with one psum of the partial C.
+SBLAS_HBM_BUDGET (bytes, default 256 MiB) caps resident HBM per device.
 """
 
 from __future__ import annotations
@@ -46,23 +48,53 @@ def main(argv=None) -> int:
     np_dtype = np.float64 if dtype_name == "f64" else np.float32
     jnp_dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
     times: dict = {}
+    import os
+    budget = int(os.environ.get("SBLAS_HBM_BUDGET", 256 << 20))
 
     with timed("Load time", times):
         A = CsrMatrix.from_mtx(path, dtype=np_dtype)
         B = DenseMatrix.random(A.width, b_width, order=MajorOrder.COL_MAJOR,
                                dtype=np_dtype)
         C = DenseMatrix.constant(A.height, b_width, 1.0, dtype=np_dtype)
-    with timed("Distribution time", times):
-        hp = host_resident_plan(A, dtype=jnp_dtype)
+
+    # method 1 = partition dense B (A replicated, streamed from host);
+    # method 2 = partition sparse A (nnz-balanced shards, psum of partials)
+    if n_dev > 1:
+        from ..memory import (host_resident_shards, spmm_um_dist,
+                              spmm_um_mode1)
+        from ..parallel import make_mesh
+        mesh = make_mesh(n_dev)
+        if method == 1:
+            with timed("Distribution time", times):
+                hp = host_resident_plan(A, dtype=jnp_dtype,
+                                        hbm_budget_bytes=budget)
+            run = lambda Bd, Cd: spmm_um_mode1(  # noqa: E731
+                hp, Bd, alpha, beta, Cd, mesh, tuning=tuning)
+            n_bands, band_rows, kind = hp.n_bands, hp.band_rows, hp.kind
+        else:
+            with timed("Distribution time", times):
+                hs = host_resident_shards(A, n_dev, dtype=jnp_dtype,
+                                          hbm_budget_bytes=budget)
+            run = lambda Bd, Cd: spmm_um_dist(  # noqa: E731
+                hs, Bd, alpha, beta, Cd, mesh, tuning=tuning)
+            n_bands, band_rows, kind = hs.n_bands, hs.band_rows, hs.kind
+    else:
+        with timed("Distribution time", times):
+            hp = host_resident_plan(A, dtype=jnp_dtype,
+                                    hbm_budget_bytes=budget)
+        run = lambda Bd, Cd: spmm_um(  # noqa: E731
+            hp, Bd, alpha, beta, Cd, tuning=tuning)
+        n_bands, band_rows, kind = hp.n_bands, hp.band_rows, hp.kind
     print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, K={b_width}, "
-          f"{hp.n_bands} band(s) x {hp.band_rows} rows [{hp.kind}], "
+          f"{n_dev} device(s), method {method}, "
+          f"{n_bands} band(s) x {band_rows} rows [{kind}], "
           f"tuning={int(tuning)}")
 
     Bd, Cd = jnp.asarray(B.values), jnp.asarray(C.values)
-    got = spmm_um(hp, Bd, alpha, beta, Cd, tuning=tuning)  # compile+warm
+    got = run(Bd, Cd)  # compile+warm
     timer = PhaseTimer()
     timer.start_timer()
-    got = spmm_um(hp, Bd, alpha, beta, Cd, tuning=tuning)
+    got = run(Bd, Cd)
     timer.stop_timer(got)
     times["Run time"] = timer.measure()
     print(f"GFLOPS = {gflops(spmm_flops(A.nnz, b_width), timer.measure()):.3f}")

@@ -5,6 +5,11 @@
 
 Mirrors spmv_test_um.cu: the spmv_test shape plus the trailing tuning flag
 (host-DRAM-resident A, band-streamed; tuning=1 prefetches to HBM).
+
+With n_devices > 1 the host-resident matrix is nnz-sharded over a device
+mesh and partial y combined with one psum — the reference's
+sblas_spmv_csr_v1 over managed memory (spmv_um.h:35-139).
+SBLAS_HBM_BUDGET (bytes, default 256 MiB) caps resident HBM per device.
 """
 
 from __future__ import annotations
@@ -38,22 +43,39 @@ def main(argv=None) -> int:
     np_dtype = np.float64 if dtype_name == "f64" else np.float32
     jnp_dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
     times: dict = {}
+    import os
+    budget = int(os.environ.get("SBLAS_HBM_BUDGET", 256 << 20))
 
     with timed("Load time", times):
         A = CsrMatrix.from_mtx(path, dtype=np_dtype)
         x = DenseVector.random(A.width, dtype=np_dtype)
         y = DenseVector.constant(A.height, 1.0, dtype=np_dtype)
-    with timed("Distribution time", times):
-        hp = host_resident_plan(A, dtype=jnp_dtype)
-    print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, "
-          f"{hp.n_bands} band(s) x {hp.band_rows} rows [{hp.kind}], "
+    if n_dev > 1:
+        from ..memory import host_resident_shards, spmv_um_dist
+        from ..parallel import make_mesh
+        mesh = make_mesh(n_dev)
+        with timed("Distribution time", times):
+            hs = host_resident_shards(A, n_dev, dtype=jnp_dtype,
+                                      hbm_budget_bytes=budget)
+        run = lambda xd, yd: spmv_um_dist(  # noqa: E731
+            hs, xd, alpha, beta, yd, mesh, tuning=tuning)
+        n_bands, band_rows, kind = hs.n_bands, hs.band_rows, hs.kind
+    else:
+        with timed("Distribution time", times):
+            hp = host_resident_plan(A, dtype=jnp_dtype,
+                                    hbm_budget_bytes=budget)
+        run = lambda xd, yd: spmv_um(  # noqa: E731
+            hp, xd, alpha, beta, yd, tuning=tuning)
+        n_bands, band_rows, kind = hp.n_bands, hp.band_rows, hp.kind
+    print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, {n_dev} device(s), "
+          f"{n_bands} band(s) x {band_rows} rows [{kind}], "
           f"tuning={int(tuning)}")
 
     xd, yd = jnp.asarray(x.values), jnp.asarray(y.values)
-    got = spmv_um(hp, xd, alpha, beta, yd, tuning=tuning)  # compile+warm
+    got = run(xd, yd)  # compile+warm
     timer = PhaseTimer()
     timer.start_timer()
-    got = spmv_um(hp, xd, alpha, beta, yd, tuning=tuning)
+    got = run(xd, yd)
     timer.stop_timer(got)
     times["Run time"] = timer.measure()
     print(f"nnz/s = {nnz_per_s(A.nnz, timer.measure()):.3e}")

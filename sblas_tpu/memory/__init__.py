@@ -1,4 +1,6 @@
 """Memory-residency subsystem: host-DRAM-spilled operands (UM analog)."""
 
+from .dist import (HostResidentShards, host_resident_shards,  # noqa: F401
+                   spmm_um_dist, spmm_um_mode1, spmv_um_dist)
 from .host import (HostResidentPlan, host_resident_plan, spmm_um,  # noqa: F401
                    spmv_um)

@@ -81,63 +81,87 @@ class WcooPlan:
 
     @classmethod
     def from_csr(cls, A: CsrMatrix, dtype=jnp.float32,
-                 config: SBlasConfig = DEFAULT) -> "WcooPlan":
-        m, n = A.shape
-        coo = A.to_coo()  # CSR order: rows ascending
-        rows = coo.row_idx
-        nnz = A.nnz
-
-        # --- greedy tiling: <= TILE nnz per tile, all rows inside the
-        # 128-aligned window of depth WINDOW anchored at the tile's first row
-        if nnz:
-            # limit[i]: first j whose row leaves the window anchored at i
-            anchors = (rows // 128 + WINDOW // 128) * 128
-            limit = np.searchsorted(rows, anchors, side="left")
-            starts = []
-            i = 0
-            while i < nnz:
-                starts.append(i)
-                i = min(i + TILE, int(limit[i]))
-            starts = np.asarray(starts, dtype=np.int64)
-        else:
-            starts = np.zeros(1, dtype=np.int64)
-        T = len(starts)
-        ends = np.concatenate([starts[1:], [nnz]])
-        counts = ends - starts
-
-        # --- scatter nnz into (T, TILE) slots
-        slot_tile = np.repeat(np.arange(T), counts)
-        slot_pos = np.arange(nnz) - np.repeat(starts, counts)
-        vals = np.zeros((T, TILE), dtype=A.values.dtype)
-        xblk = np.zeros((T, TILE), dtype=np.int64)
-        lane = np.zeros((T, TILE), dtype=np.int64)
-        relrow = np.zeros((T, TILE), dtype=np.int64)
-        window = np.zeros(T, dtype=np.int64)
-        if nnz:
-            window = (rows[starts] // 128) * 128
-            vals[slot_tile, slot_pos] = coo.values
-            xblk[slot_tile, slot_pos] = coo.col_idx // 128
-            lane[slot_tile, slot_pos] = coo.col_idx % 128
-            relrow[slot_tile, slot_pos] = rows - window[slot_tile]
-        assert relrow.max(initial=0) < WINDOW
-
-        # --- static scatter schedule: two 128-row halves per tile, sorted
-        # by destination block so the final segment-sum sees sorted ids
-        half_ids = np.stack([window // 128, window // 128 + 1],
-                            axis=1).reshape(-1)          # (2T,)
-        perm = np.argsort(half_ids, kind="stable")
-        m_pad = _round_up(max(m, 1), 128)
-        n_row_blocks = m_pad // 128 + 1  # +1: windows may overhang the edge
-
+                 config: SBlasConfig = DEFAULT, *,
+                 min_tiles: int = 0) -> "WcooPlan":
+        """`min_tiles` pads the tile count up to a shared static size (pad
+        tiles carry val=0 anchored at window 0 and contribute nothing) —
+        used by the band-streaming/distributed layers so per-band plans
+        share one shape and one compiled kernel."""
+        arr = wcoo_arrays(A, min_tiles=min_tiles)
+        np_val = np.dtype(jnp.dtype(dtype).name)
         return cls(
-            xblk=jnp.asarray(xblk.reshape(-1), jnp.int32),
-            lane=jnp.asarray(lane.reshape(-1), jnp.int32),
-            vals=jnp.asarray(vals.reshape(-1), dtype),
-            relrow=jnp.asarray(relrow, jnp.int32),
-            scatter_perm=jnp.asarray(perm, jnp.int32),
-            block_ids=jnp.asarray(half_ids[perm], jnp.int32),
-            shape=A.shape, nnz=nnz, n_tiles=T,
-            n_row_blocks=n_row_blocks)
+            xblk=jnp.asarray(arr["xblk"], jnp.int32),
+            lane=jnp.asarray(arr["lane"], jnp.int32),
+            vals=jnp.asarray(arr["vals"].astype(np_val), dtype),
+            relrow=jnp.asarray(arr["relrow"], jnp.int32),
+            scatter_perm=jnp.asarray(arr["scatter_perm"], jnp.int32),
+            block_ids=jnp.asarray(arr["block_ids"], jnp.int32),
+            shape=A.shape, nnz=A.nnz, n_tiles=arr["n_tiles"],
+            n_row_blocks=arr["n_row_blocks"])
+
+
+def wcoo_arrays(A: CsrMatrix, min_tiles: int = 0) -> dict:
+    """Windowed-COO layout as host numpy arrays (kept numpy-pure so
+    callers control placement — device HBM for single-chip plans, pinned
+    host for the UM-analog band streamer)."""
+    m, n = A.shape
+    coo = A.to_coo()  # CSR order: rows ascending
+    rows = coo.row_idx
+    nnz = A.nnz
+
+    # --- greedy tiling: <= TILE nnz per tile, all rows inside the
+    # 128-aligned window of depth WINDOW anchored at the tile's first row
+    if nnz:
+        # limit[i]: first j whose row leaves the window anchored at i
+        anchors = (rows // 128 + WINDOW // 128) * 128
+        limit = np.searchsorted(rows, anchors, side="left")
+        starts = []
+        i = 0
+        while i < nnz:
+            starts.append(i)
+            i = min(i + TILE, int(limit[i]))
+        starts = np.asarray(starts, dtype=np.int64)
+    else:
+        starts = np.zeros(1, dtype=np.int64)
+    T_real = len(starts)
+    T = max(T_real, int(min_tiles))
+    ends = np.concatenate([starts[1:], [nnz]])
+    counts = np.pad(ends - starts, (0, T - T_real))
+
+    # --- scatter nnz into (T, TILE) slots
+    slot_tile = np.repeat(np.arange(T), counts)
+    slot_pos = np.arange(nnz) - np.repeat(starts, counts[:T_real])
+    vals = np.zeros((T, TILE), dtype=A.values.dtype)
+    xblk = np.zeros((T, TILE), dtype=np.int64)
+    lane = np.zeros((T, TILE), dtype=np.int64)
+    relrow = np.zeros((T, TILE), dtype=np.int64)
+    window = np.zeros(T, dtype=np.int64)
+    if nnz:
+        window[:T_real] = (rows[starts] // 128) * 128
+        vals[slot_tile, slot_pos] = coo.values
+        xblk[slot_tile, slot_pos] = coo.col_idx // 128
+        lane[slot_tile, slot_pos] = coo.col_idx % 128
+        relrow[slot_tile, slot_pos] = rows - window[slot_tile]
+    assert relrow.max(initial=0) < WINDOW
+
+    # --- static scatter schedule: two 128-row halves per tile, sorted
+    # by destination block so the final segment-sum sees sorted ids
+    half_ids = np.stack([window // 128, window // 128 + 1],
+                        axis=1).reshape(-1)          # (2T,)
+    perm = np.argsort(half_ids, kind="stable")
+    m_pad = _round_up(max(m, 1), 128)
+    n_row_blocks = m_pad // 128 + 1  # +1: windows may overhang the edge
+
+    return {
+        "xblk": xblk.reshape(-1).astype(np.int32),
+        "lane": lane.reshape(-1).astype(np.int32),
+        "vals": vals.reshape(-1),
+        "relrow": relrow.astype(np.int32),
+        "scatter_perm": perm.astype(np.int32),
+        "block_ids": half_ids[perm].astype(np.int32),
+        "n_tiles": T,
+        "n_row_blocks": n_row_blocks,
+    }
 
 
 def _x_blocks(plan: WcooPlan, x):
