@@ -144,6 +144,16 @@ def main() -> int:
           f"{ms_wm:.3f} ms = {gflops(spmm_flops(W.nnz, K), ms_wm):.1f} "
           f"GFLOP/s = {nnz_per_s(W.nnz, ms_wm):.3e} nnz/s", file=sys.stderr)
 
+    # ---- scaling-efficiency projections (BASELINE.md: >=80% linear to
+    # v5e-16; one chip attached, so the analytic ICI model projects —
+    # see sblas_tpu/scaling.py for the model and its assumptions) ----
+    from sblas_tpu.scaling import report_lines
+    for line in report_lines("spmm", ms_best, A.shape[0], K, 4,
+                             halo_rows=2412):
+        print(line, file=sys.stderr)
+    for line in report_lines("spmv", ms_wbest, W.shape[0], 1, 4):
+        print(line, file=sys.stderr)
+
     geomean = float(np.sqrt((ms_base / ms_best) * (ms_wb / ms_wbest)))
     print(f"# spmm speedup {ms_base/ms_best:.1f}x, spmv speedup "
           f"{ms_wb/ms_wbest:.1f}x, spmm {g_best:.1f} GFLOP/s, spmv "

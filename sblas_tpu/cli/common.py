@@ -49,3 +49,75 @@ def positional(argv, names, casts, usage: str):
         print(usage, file=sys.stderr)
         raise SystemExit(2)
     return [cast(a) for a, cast in zip(argv, casts)]
+
+
+def tree_bytes(x) -> int:
+    """Total array bytes in a pytree (plan-size probe for timing)."""
+    import jax
+
+    return sum(getattr(leaf, "nbytes", 0)
+               for leaf in jax.tree_util.tree_leaves(x))
+
+
+# Plans larger than this cannot be closure-captured inside a timing loop:
+# captured arrays embed as HLO constants and the remote-compile tunnel
+# rejects big request bodies (HTTP 413 around a few hundred MB).
+_LOOP_CONST_LIMIT = 100 << 20
+
+
+def steady_run_ms(run_once, run_coupled=None, operand_bytes: int = 0):
+    """Steady-state run time (ms) + result for the driver report.
+
+    A single timed call measures the ~30 ms dispatch tunnel rather than
+    the kernel whenever the kernel is small (VERDICT r1 weak#5), so:
+
+    * one call clearly above 10x dispatch overhead -> report it;
+    * else, when `run_coupled(eps)` is provided (the run with `eps` folded
+      into its primary operand, forcing a data dependency) and the
+      captured operands stay under the compile-tunnel constant limit ->
+      K device-side iterations inside ONE dispatch (utils.benchtime);
+    * else amortize: R back-to-back async dispatches, one true sync —
+      per-call host dispatch (~1 ms) stays in the number, which is honest
+      for python-loop runs (UM streaming) that really pay it per call.
+    """
+    import time as _time
+
+    from ..utils.benchtime import dispatch_overhead_ms, loop_time_ms
+    from ..utils.timing import device_sync
+
+    # warm OUTSIDE the timed window: the first device_sync compiles its
+    # scalar-fetch program through the remote tunnel (~30-60 s!), and the
+    # run itself may still have compilation cache misses
+    device_sync(run_once())
+
+    t0 = _time.perf_counter()
+    out = run_once()
+    device_sync(out)
+    t1 = (_time.perf_counter() - t0) * 1e3
+    overhead = dispatch_overhead_ms()
+    if t1 >= 10 * overhead:
+        return t1, out
+    if run_coupled is not None and operand_bytes <= _LOOP_CONST_LIMIT:
+        def step(o):
+            import jax.numpy as jnp
+            # tiny but NONZERO coupling: 0.0*carry constant-folds and XLA
+            # hoists the whole loop body (measured: ash85 "ran" in 0 ms);
+            # 1e-30*carry keeps a real data dependency, and the perturbed
+            # loop values are discarded — only the timing matters
+            return run_coupled(jnp.reshape(o, (-1,))[0] * 1e-30)
+
+        # escalate the device-side iteration count until the measured net
+        # loop time clears the sync-noise floor (ash85-sized kernels run
+        # in ~us; 32 iterations sit far below the ~30 ms round trip)
+        for iters in (64, 8192, 524288):
+            ms = loop_time_ms(step, out, iters=iters)
+            if ms * iters >= overhead:
+                break
+        return ms, out
+    reps = 16
+    t0 = _time.perf_counter()
+    for _ in range(reps):
+        out = run_once()
+    device_sync(out)
+    elapsed = (_time.perf_counter() - t0) * 1e3
+    return max((elapsed - overhead) / reps, 1e-6), out

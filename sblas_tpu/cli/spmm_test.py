@@ -38,7 +38,7 @@ def main(argv=None) -> int:
     from ..parallel import (partition_row_plans, spmm_mode1, spmm_mode2,
                             spmm_mode2_planned, sync_to_host)
     from ..partition import partition_nnz_balanced, partition_report
-    from ..utils.timing import PhaseTimer, gflops, spmm_flops, timed
+    from ..utils.timing import gflops, spmm_flops, timed
     from ..utils.verify import check_equal
 
     np_dtype = np.float64 if dtype_name == "f64" else np.float32
@@ -63,20 +63,42 @@ def main(argv=None) -> int:
     print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, K={b_width}, "
           f"{n} device(s), method {method}")
 
+    from .common import steady_run_ms, tree_bytes
     Bd, Cd = jnp.asarray(B.values), jnp.asarray(C.values)
     run = {
         "1": lambda: spmm_mode1(plan, Bd, alpha, beta, Cd, mesh),
         "2": lambda: spmm_mode2(segs, Bd, alpha, beta, Cd, mesh),
         "2p": lambda: spmm_mode2_planned(shards, Bd, alpha, beta, Cd, mesh),
     }[method]
-    got = run()  # compile + first run (the reference times a cold run;
-    # we report the steady-state run, plus GFLOPs the reference omits)
-    timer = PhaseTimer()
-    timer.start_timer()
-    got = run()
-    timer.stop_timer(got)
-    times[f"{n}-device run time"] = timer.measure()
-    print(f"GFLOPS = {gflops(spmm_flops(A.nnz, b_width), timer.measure()):.3f}")
+    run_c = {
+        "1": lambda e: spmm_mode1(plan, Bd + e, alpha, beta, Cd, mesh),
+        "2": lambda e: spmm_mode2(segs, Bd + e, alpha, beta, Cd, mesh),
+        "2p": lambda e: spmm_mode2_planned(shards, Bd + e, alpha, beta, Cd,
+                                           mesh),
+    }[method]
+    operands = {"1": lambda: plan, "2": lambda: segs,
+                "2p": lambda: shards}[method]()
+    run()  # compile + first run (the reference times a cold run; we
+    # report the steady-state run, plus GFLOPs the reference omits)
+    ms, got = steady_run_ms(run, run_c, tree_bytes(operands))
+    times[f"{n}-device run time"] = ms
+    print(f"GFLOPS = {gflops(spmm_flops(A.nnz, b_width), ms):.3f}")
+
+    # comm/compute phase split (reference prints per-GPU NCCL all-reduce
+    # time, spmm.h:258-271): time the same per-shard compute without the
+    # collective and subtract.  XLA may overlap comm with compute, so this
+    # is the *exposed* collective cost.
+    if method in ("2", "2p") and n > 1:
+        from ..parallel import spmm_mode2_nocomm, spmm_mode2_planned_nocomm
+        nc = (lambda: spmm_mode2_nocomm(segs, Bd, mesh)) if method == "2" \
+            else (lambda: spmm_mode2_planned_nocomm(shards, Bd, mesh))
+        nc_c = (lambda e: spmm_mode2_nocomm(segs, Bd + e, mesh)) \
+            if method == "2" \
+            else (lambda e: spmm_mode2_planned_nocomm(shards, Bd + e, mesh))
+        nc()  # compile
+        ms_nc, _ = steady_run_ms(nc, nc_c, tree_bytes(operands))
+        times["Comm time (exposed psum)"] = max(ms - ms_nc, 0.0)
+        times["Compute time (per-shard)"] = ms_nc
 
     with timed("CPU run time", times):
         want = spmm_cpu(A, B, alpha, beta, C)

@@ -42,7 +42,7 @@ def main(argv=None) -> int:
     from ..containers import CsrMatrix, DenseMatrix, MajorOrder
     from ..memory import host_resident_plan, spmm_um
     from ..ops.cpu_reference import spmm_cpu
-    from ..utils.timing import PhaseTimer, gflops, spmm_flops, timed
+    from ..utils.timing import gflops, spmm_flops, timed
     from ..utils.verify import check_equal
 
     np_dtype = np.float64 if dtype_name == "f64" else np.float32
@@ -90,14 +90,14 @@ def main(argv=None) -> int:
           f"{n_bands} band(s) x {band_rows} rows [{kind}], "
           f"tuning={int(tuning)}")
 
+    from .common import steady_run_ms
     Bd, Cd = jnp.asarray(B.values), jnp.asarray(C.values)
-    got = run(Bd, Cd)  # compile+warm
-    timer = PhaseTimer()
-    timer.start_timer()
-    got = run(Bd, Cd)
-    timer.stop_timer(got)
-    times["Run time"] = timer.measure()
-    print(f"GFLOPS = {gflops(spmm_flops(A.nnz, b_width), timer.measure()):.3f}")
+    run(Bd, Cd)  # compile+warm
+    # streaming is a host band loop (per-dispatch cost is real):
+    # async-batch estimator, no device-side timing loop
+    ms, got = steady_run_ms(lambda: run(Bd, Cd))
+    times["Run time"] = ms
+    print(f"GFLOPS = {gflops(spmm_flops(A.nnz, b_width), ms):.3f}")
 
     with timed("CPU run time", times):
         want = spmm_cpu(A, B, alpha, beta, C)

@@ -44,7 +44,7 @@ def main(argv=None) -> int:
                             spmv_halo_planned, sync_to_host)
     from ..partition import (partition_nnz_balanced, partition_report,
                              partition_row_blocks)
-    from ..utils.timing import PhaseTimer, nnz_per_s, timed
+    from ..utils.timing import nnz_per_s, timed
     from ..utils.verify import check_equal
 
     np_dtype = np.float64 if dtype_name == "f64" else np.float32
@@ -76,6 +76,7 @@ def main(argv=None) -> int:
     print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, {n} device(s), "
           f"mode {mode}")
 
+    from .common import steady_run_ms, tree_bytes
     xd, yd = jnp.asarray(x.values), jnp.asarray(y.values)
     run = {
         "dist": lambda: spmv_dist(segs, xd, alpha, beta, yd, mesh),
@@ -86,13 +87,36 @@ def main(argv=None) -> int:
                                            mesh),
         "single": lambda: spmv(plan, xd, alpha, beta, yd),
     }[mode]
-    got = run()  # compile
-    timer = PhaseTimer()
-    timer.start_timer()
-    got = run()
-    timer.stop_timer(got)
-    times[f"{n}-device run time"] = timer.measure()
-    print(f"nnz/s = {nnz_per_s(A.nnz, timer.measure()):.3e}")
+    run_c = {
+        "dist": lambda e: spmv_dist(segs, xd + e, alpha, beta, yd, mesh),
+        "distp": lambda e: spmv_dist_planned(shards, xd + e, alpha, beta,
+                                             yd, mesh),
+        "halo": lambda e: spmv_halo(blocks, xd + e, alpha, beta, yd, mesh),
+        "halop": lambda e: spmv_halo_planned(hshards, xd + e, alpha, beta,
+                                             yd, mesh),
+        "single": lambda e: spmv(plan, xd + e, alpha, beta, yd),
+    }[mode]
+    operands = {"dist": lambda: segs, "distp": lambda: shards,
+                "halo": lambda: blocks, "halop": lambda: hshards,
+                "single": lambda: plan}[mode]()
+    run()  # compile
+    ms, got = steady_run_ms(run, run_c, tree_bytes(operands))
+    times[f"{n}-device run time"] = ms
+    print(f"nnz/s = {nnz_per_s(A.nnz, ms):.3e}")
+
+    # comm/compute phase split (reference prints per-GPU NCCL time,
+    # spmv.h:112-128): exposed collective cost = full run - nocomm run
+    if mode in ("dist", "distp") and n > 1:
+        from ..parallel import spmv_dist_nocomm, spmv_dist_planned_nocomm
+        nc = (lambda: spmv_dist_nocomm(segs, xd, mesh)) if mode == "dist" \
+            else (lambda: spmv_dist_planned_nocomm(shards, xd, mesh))
+        nc_c = (lambda e: spmv_dist_nocomm(segs, xd + e, mesh)) \
+            if mode == "dist" \
+            else (lambda e: spmv_dist_planned_nocomm(shards, xd + e, mesh))
+        nc()  # compile
+        ms_nc, _ = steady_run_ms(nc, nc_c, tree_bytes(operands))
+        times["Comm time (exposed psum)"] = max(ms - ms_nc, 0.0)
+        times["Compute time (per-shard)"] = ms_nc
 
     with timed("CPU run time", times):
         want = spmv_cpu(A, x, alpha, beta, y)

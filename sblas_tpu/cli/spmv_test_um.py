@@ -37,7 +37,7 @@ def main(argv=None) -> int:
     from ..containers import CsrMatrix, DenseVector
     from ..memory import host_resident_plan, spmv_um
     from ..ops.cpu_reference import spmv_cpu
-    from ..utils.timing import PhaseTimer, nnz_per_s, timed
+    from ..utils.timing import nnz_per_s, timed
     from ..utils.verify import check_equal
 
     np_dtype = np.float64 if dtype_name == "f64" else np.float32
@@ -71,14 +71,14 @@ def main(argv=None) -> int:
           f"{n_bands} band(s) x {band_rows} rows [{kind}], "
           f"tuning={int(tuning)}")
 
+    from .common import steady_run_ms
     xd, yd = jnp.asarray(x.values), jnp.asarray(y.values)
-    got = run(xd, yd)  # compile+warm
-    timer = PhaseTimer()
-    timer.start_timer()
-    got = run(xd, yd)
-    timer.stop_timer(got)
-    times["Run time"] = timer.measure()
-    print(f"nnz/s = {nnz_per_s(A.nnz, timer.measure()):.3e}")
+    run(xd, yd)  # compile+warm
+    # no device-side loop here: the streaming path is a host band loop and
+    # really pays per-dispatch cost — the async-batch estimator keeps it
+    ms, got = steady_run_ms(lambda: run(xd, yd))
+    times["Run time"] = ms
+    print(f"nnz/s = {nnz_per_s(A.nnz, ms):.3e}")
 
     with timed("CPU run time", times):
         want = spmv_cpu(A, x, alpha, beta, y)

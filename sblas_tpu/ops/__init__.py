@@ -13,7 +13,7 @@ Six device layouts, chosen by `make_plan`:
 
 from . import cpu_reference  # noqa: F401
 from .bsr import BsrPlan, bell_stats, spmm_bsr, spmv_bsr  # noqa: F401
-from .bsr_pallas import spmm_bsr_pallas, spmv_bsr_pallas  # noqa: F401
+from .bsr_pallas import spmm_bsr_pallas  # noqa: F401
 from .dia import DiaPlan, dia_stats, spmm_dia, spmv_dia  # noqa: F401
 from .elementwise import axpby, plus_scalar  # noqa: F401
 from .plans import CooPlan, EllPlan  # noqa: F401

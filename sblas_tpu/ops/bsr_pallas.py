@@ -96,73 +96,8 @@ def spmm_bsr_pallas(plan: BsrPlan, B: jax.Array, alpha, beta,
     return out[:m]
 
 
-_SPMV_GROUP = 8  # block-rows per grid step (sublane tile of the out block)
-
-
-def _spmv_kernel(bcol_ref, vals_ref, x_ref, yin_ref, scale_ref, out_ref):
-    i = pl.program_id(0)
-    s = pl.program_id(1)
-    n_slots = pl.num_programs(1)
-    # One (R, Cb) block per grouped block-row; x rows fetched from the
-    # VMEM-resident x by the prefetched block-column id.  The multiply is a
-    # VPU broadcast-reduce: a matmul would waste 127/128 of the MXU on a
-    # single vector.
-    for j in range(_SPMV_GROUP):
-        xrow = x_ref[bcol_ref[i * _SPMV_GROUP + j, s], :]
-        prod = jnp.sum(vals_ref[j, 0] * xrow[None, :], axis=1)
-
-        @pl.when(s == 0)
-        def _(j=j, prod=prod):
-            out_ref[0, j, :] = prod
-
-        @pl.when(s != 0)
-        def _(j=j, prod=prod):
-            out_ref[0, j, :] = out_ref[0, j, :] + prod
-
-    @pl.when(s == n_slots - 1)
-    def _():
-        out_ref[:] = scale_ref[1] * yin_ref[:] + scale_ref[0] * out_ref[:]
-
-
-@jax.jit
-def spmv_bsr_pallas(plan: BsrPlan, x: jax.Array, alpha, beta,
-                    y: jax.Array) -> jax.Array:
-    """y' = beta*y + alpha*A@x with A in BELL layout via the Pallas pipeline.
-
-    x lives whole in VMEM (fine up to a few M columns); block-rows are
-    processed in groups of 8 so the (group, R) output block meets the
-    (8, 128) tile floor.
-    """
-    n_brows, L, R, Cb = plan.vals.shape
-    m, n = plan.shape
-    dtype = plan.vals.dtype
-    G = _SPMV_GROUP
-
-    nb_pad = ((n_brows + G - 1) // G) * G
-    vals = jnp.pad(plan.vals, ((0, nb_pad - n_brows), (0, 0), (0, 0), (0, 0)))
-    bcol = jnp.pad(plan.bcol, ((0, nb_pad - n_brows), (0, 0)))
-    n_pad = ((n + Cb - 1) // Cb) * Cb
-    x_blocks = jnp.pad(x.astype(dtype), (0, n_pad - n)).reshape(-1, Cb)
-    m_pad = nb_pad * R
-    y_blocks = jnp.pad(y.astype(dtype),
-                       (0, m_pad - m)).reshape(nb_pad // G, G, R)
-    scale = jnp.asarray([alpha, beta], dtype)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb_pad // G, L),
-        in_specs=[
-            pl.BlockSpec((G, 1, R, Cb), lambda i, s, bcol: (i, s, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full x, VMEM-resident
-            pl.BlockSpec((1, G, R), lambda i, s, bcol: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, G, R), lambda i, s, bcol: (i, 0, 0)),
-    )
-    out = pl.pallas_call(
-        _spmv_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb_pad // G, G, R), dtype),
-        interpret=_interpret(),
-    )(bcol, vals, x_blocks, y_blocks, scale)
-    return out.reshape(-1)[:m]
+# NOTE: a Pallas BSR SpMV variant existed here through round 1; measured on
+# v5e (band-73 FEM proxy, f32) it reached 9.0 Gnnz/s vs 34.7 for the XLA
+# formulation in ops/bsr.py — the VMEM-resident-x broadcast-reduce cannot
+# beat XLA's fused gather for a single output vector, so it was removed
+# (VERDICT r1 next#9: "measure the crossover ... or delete it").

@@ -6,7 +6,9 @@ shard_map programs over a jax.sharding.Mesh."""
 
 from .mesh import (DEFAULT_AXIS, init_distributed, make_mesh, pad_to_shards,
                    place_dense, replicate, shard_along, sync_to_host)  # noqa: F401
-from .modes import spmm_mode1, spmm_mode2, spmv_dist, spmv_halo  # noqa: F401
+from .modes import (spmm_mode1, spmm_mode2, spmm_mode2_nocomm,  # noqa: F401
+                    spmv_dist, spmv_dist_nocomm, spmv_halo)
 from .planned import (HaloDiaShards, RowPlanShards, partition_halo_dia,  # noqa: F401
                       partition_row_plans, spmm_mode2_planned,
-                      spmv_dist_planned, spmv_halo_planned)
+                      spmm_mode2_planned_nocomm, spmv_dist_planned,
+                      spmv_dist_planned_nocomm, spmv_halo_planned)

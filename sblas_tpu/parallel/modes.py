@@ -129,6 +129,43 @@ def _mode2_spmv_program(mesh: Mesh, axis: str, reduce: str):
 
 
 @functools.lru_cache(maxsize=None)
+def _mode2_spmm_nocomm_program(mesh: Mesh, axis: str):
+    def fn(segs, B):
+        return segment_spmm(segs.rows[0], segs.cols[0], segs.vals[0], B,
+                            segs.shape[0])
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(axis, None), P()),
+        out_specs=P(axis, None)))
+
+
+@functools.lru_cache(maxsize=None)
+def _mode2_spmv_nocomm_program(mesh: Mesh, axis: str):
+    def fn(segs, x):
+        return segment_spmv(segs.rows[0], segs.cols[0], segs.vals[0], x,
+                            segs.shape[0])
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P(axis)))
+
+
+def spmm_mode2_nocomm(segs: CooSegments, B, mesh: Mesh,
+                      axis: str = DEFAULT_AXIS) -> jax.Array:
+    """Diagnostic: mode-2 per-shard partials WITHOUT the sum collective.
+    Drivers time this against the full run to report the comm/compute
+    phase split (the reference prints per-GPU NCCL all-reduce time,
+    spmm.h:258-271); values are the unreduced partials — timing only."""
+    return _mode2_spmm_nocomm_program(mesh, axis)(segs, B)
+
+
+def spmv_dist_nocomm(segs: CooSegments, x, mesh: Mesh,
+                     axis: str = DEFAULT_AXIS) -> jax.Array:
+    """Diagnostic twin of `spmv_dist` without the collective
+    (spmv.h:112-128 analog for phase reporting)."""
+    return _mode2_spmv_nocomm_program(mesh, axis)(segs, x)
+
+
+@functools.lru_cache(maxsize=None)
 def _halo_spmv_program(mesh: Mesh, axis: str):
     n = mesh.shape[axis]
 

@@ -346,6 +346,34 @@ def spmv_dist_planned(shards: RowPlanShards, x, alpha, beta, y, mesh: Mesh,
     return out[:m]
 
 
+@functools.lru_cache(maxsize=None)
+def _mode2p_nocomm_program(mesh: Mesh, axis: str, kind: str, op: str):
+    def fn(shards, operand):
+        plan = _unstack(shards.plan)
+        if op == "spmm":
+            return _local_spmm(kind, plan, operand)
+        return _local_spmv(kind, plan, operand)
+
+    out = P(axis, None) if op == "spmm" else P(axis)
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(axis), P()), out_specs=out,
+        check_vma=(kind != "routed")))
+
+
+def spmm_mode2_planned_nocomm(shards: RowPlanShards, B, mesh: Mesh,
+                              axis: str = DEFAULT_AXIS) -> jax.Array:
+    """Diagnostic: per-shard compute without the collective (comm/compute
+    phase split for drivers; reference prints per-GPU NCCL time,
+    spmm.h:258-271).  Values are unplaced partials — timing only."""
+    return _mode2p_nocomm_program(mesh, axis, shards.kind, "spmm")(shards, B)
+
+
+def spmv_dist_planned_nocomm(shards: RowPlanShards, x, mesh: Mesh,
+                             axis: str = DEFAULT_AXIS) -> jax.Array:
+    """Diagnostic twin of `spmv_dist_planned` without the collective."""
+    return _mode2p_nocomm_program(mesh, axis, shards.kind, "spmv")(shards, x)
+
+
 # ---------------------------------------------------------------------------
 # Halo SpMV with per-shard DIA plans
 # ---------------------------------------------------------------------------

@@ -21,6 +21,20 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
+
+
+def device_sync(*values) -> None:
+    """Force TRUE device completion of `values`.
+
+    `jax.block_until_ready` returns before device completion on
+    tunnelled attachments (axon); a scalar host fetch is a real data
+    dependency and cannot."""
+    import jax.numpy as jnp
+    for v in values:
+        for leaf in jax.tree_util.tree_leaves(v):
+            if hasattr(leaf, "dtype"):
+                np.asarray(jnp.sum(leaf))
 
 
 @dataclasses.dataclass
@@ -36,8 +50,7 @@ class PhaseTimer:
 
     def stop_timer(self, *sync_values) -> float:
         """Stop; pass device values to block on for gpu_timer semantics."""
-        for v in sync_values:
-            jax.block_until_ready(v)
+        device_sync(*sync_values)
         assert self._t0 is not None, "stop_timer before start_timer"
         self.elapsed_ms += (time.perf_counter() - self._t0) * 1e3
         self._t0 = None
@@ -57,7 +70,7 @@ def timed(name: str, results: Optional[Dict[str, float]] = None,
         yield t
     finally:
         if sync is not None:
-            jax.block_until_ready(sync)
+            device_sync(sync)
         t.stop_timer()
         if results is not None:
             results[name] = t.elapsed_ms

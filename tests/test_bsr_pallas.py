@@ -12,7 +12,7 @@ import pytest
 from sblas_tpu.containers import DenseMatrix, DenseVector
 from sblas_tpu.io.generate import fem_banded_like, uniform_random
 from sblas_tpu.ops.bsr import BsrPlan, spmm_bsr, spmv_bsr
-from sblas_tpu.ops.bsr_pallas import spmm_bsr_pallas, spmv_bsr_pallas
+from sblas_tpu.ops.bsr_pallas import spmm_bsr_pallas
 from sblas_tpu.ops.cpu_reference import spmm_cpu, spmv_cpu
 from sblas_tpu.utils.verify import assert_equal
 
@@ -48,38 +48,3 @@ def test_spmm_matches_xla_path(blocky):
                     jnp.asarray(C.values))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-12, atol=1e-12)
-
-
-@pytest.mark.parametrize("alpha,beta", [(1.0, 1.0), (3.0, 4.0)])
-def test_spmv_matches_oracle(banded, alpha, beta):
-    plan = BsrPlan.from_csr(banded, dtype=jnp.float64, block=(128, 128))
-    x = DenseVector.random(banded.width)
-    y = DenseVector.constant(banded.height, 1.0)
-    got = spmv_bsr_pallas(plan, jnp.asarray(x.values), alpha, beta,
-                          jnp.asarray(y.values))
-    want = spmv_cpu(banded, x, alpha, beta, y)
-    assert_equal(np.asarray(got), want)
-
-
-def test_spmv_matches_xla_path(blocky):
-    plan = BsrPlan.from_csr(blocky, dtype=jnp.float64, block=(128, 128))
-    x = DenseVector.random(blocky.width)
-    y = DenseVector.random(blocky.height)
-    got = spmv_bsr_pallas(plan, jnp.asarray(x.values), 3.0, 4.0,
-                          jnp.asarray(y.values))
-    want = spmv_bsr(plan, jnp.asarray(x.values), 3.0, 4.0,
-                    jnp.asarray(y.values))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-12, atol=1e-12)
-
-
-def test_non_multiple_of_group_block_rows():
-    """n_brows not divisible by the SpMV grouping of 8."""
-    A = uniform_random(130, 140, nnz_per_row=3, seed=5, dtype=np.float64)
-    plan = BsrPlan.from_csr(A, dtype=jnp.float64, block=(128, 128))
-    x = DenseVector.random(A.width)
-    y = DenseVector.constant(A.height, 2.0)
-    got = spmv_bsr_pallas(plan, jnp.asarray(x.values), 1.5, 0.5,
-                          jnp.asarray(y.values))
-    want = spmv_cpu(A, x, 1.5, 0.5, y)
-    assert_equal(np.asarray(got), want)

@@ -122,3 +122,19 @@ def test_spmv_um_cli_unstructured_budget(web_mtx_path, tuning, capsys,
     import re
     bands = int(re.search(r"(\d+) band", out).group(1))
     assert bands > 1
+
+
+def test_comm_time_reported(mtx_path, capsys):
+    """VERDICT r1 next#6: distributed drivers report a comm/compute phase
+    split (reference spmm.h:267-271 prints per-GPU NCCL time)."""
+    from sblas_tpu.cli.spmm_test import main as spmm_main
+    rc = spmm_main(["2", mtx_path, "8", "3.0", "4.0", "4", "f64"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Comm time (exposed psum)" in out
+    assert "Compute time (per-shard)" in out
+    from sblas_tpu.cli.spmv_test import main as spmv_main
+    rc = spmv_main([mtx_path, "3.0", "4.0", "4", "f64", "--mode", "distp"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Comm time (exposed psum)" in out
