@@ -217,6 +217,9 @@ def spmm_wcoo(plan: WcooPlan, B: jax.Array, alpha, beta, C: jax.Array,
     cols = plan.xblk * 128 + plan.lane
     B_p = jnp.pad(B, ((0, n_pad - B.shape[0]), (0, 0)))
 
+    # small plans (band/grid cells) must not pad their tile count up to a
+    # full scan chunk — that is up to t_chunk/T x wasted one-hot matmuls
+    t_chunk = max(min(t_chunk, _round_up(T, 8)), 1)
     T_pad = _round_up(T, t_chunk)
     pad_t = T_pad - T
     cols_c = jnp.pad(cols.reshape(T, TILE), ((0, pad_t), (0, 0)))
