@@ -276,8 +276,7 @@ def build_band_plan(sub: CsrMatrix, kind: str, dim: int, band_rows: int,
         return WcooPlan(
             xblk=put(r["xblk"]), lane=put(r["lane"]),
             vals=put(r["vals"].astype(np_val_dtype)),
-            relrow=put(r["relrow"]), scatter_perm=put(r["scatter_perm"]),
-            block_ids=put(r["block_ids"]),
+            relrow=put(r["relrow"]), half_ids=put(r["half_ids"]),
             shape=(band_rows, n), nnz=total_nnz, n_tiles=r["n_tiles"],
             n_row_blocks=r["n_row_blocks"])
     if kind == "coo":

@@ -15,10 +15,12 @@ hardware is actually good at:
   128-aligned row *window* of depth 256 that contains all its rows (tiles
   are split when empty-row gaps would overflow the window).  Per tile, a
   one-hot of the in-window row index turns the segmented sum into a batched
-  (1x128)@(128x256) matmul — MXU work, exact in f32 at HIGHEST precision
-  because every element is summed once.  Window halves are then added into
-  the 128-row-block grid of y with one short, presorted segment-sum
-  (2T rows of 128 lanes — vectorized, not elementwise).  Measured 20x over
+  (1x128)@(128x256) matmul — MXU work, exact in f32 at HIGH (bf16x3)
+  precision because the one-hot operand splits exactly into (1, 0, 0)
+  bf16 terms, so every product reconstructs the full f32 contribution.
+  Window halves are then added into the 128-row-block grid of y with one
+  short segment-sum over 2T rows of 128 lanes (vectorized, not
+  elementwise; ids nearly sorted in tile order).  Measured 20x over
   segment_sum.
 
 No reference analog: cuSPARSE hides this problem on GPUs (spmm.h:146-149);
@@ -47,8 +49,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["xblk", "lane", "vals", "relrow", "scatter_perm",
-                      "block_ids"],
+         data_fields=["xblk", "lane", "vals", "relrow", "half_ids"],
          meta_fields=["shape", "nnz", "n_tiles", "n_row_blocks"])
 @dataclasses.dataclass(frozen=True)
 class WcooPlan:
@@ -58,17 +59,19 @@ class WcooPlan:
     lane: (T*TILE,) i32   lane within the block (col % 128)
     vals: (T*TILE,)       values (padding slots are 0)
     relrow: (T, TILE) i32 row - window_start, in [0, WINDOW)
-    scatter_perm: (2T,) i32  static permutation sorting window halves by
-                             destination row block
-    block_ids: (2T,) i32  sorted destination row-block ids of the halves
+    half_ids: (2T,) i32   destination row-block id of each window half,
+                          in tile order (nearly sorted — windows are
+                          monotone in CSR order; the scatter-add takes
+                          them unsorted, which measured FASTER than
+                          pre-permuting into sorted order: 12.6 vs
+                          21.2 ms on v5e for the 2T=47k-half webbase case)
     """
 
     xblk: jax.Array
     lane: jax.Array
     vals: jax.Array
     relrow: jax.Array
-    scatter_perm: jax.Array
-    block_ids: jax.Array
+    half_ids: jax.Array
     shape: Tuple[int, int]
     nnz: int
     n_tiles: int
@@ -94,8 +97,7 @@ class WcooPlan:
             lane=jnp.asarray(arr["lane"], jnp.int32),
             vals=jnp.asarray(arr["vals"].astype(np_val), dtype),
             relrow=jnp.asarray(arr["relrow"], jnp.int32),
-            scatter_perm=jnp.asarray(arr["scatter_perm"], jnp.int32),
-            block_ids=jnp.asarray(arr["block_ids"], jnp.int32),
+            half_ids=jnp.asarray(arr["half_ids"], jnp.int32),
             shape=A.shape, nnz=A.nnz, n_tiles=arr["n_tiles"],
             n_row_blocks=arr["n_row_blocks"])
 
@@ -144,11 +146,10 @@ def wcoo_arrays(A: CsrMatrix, min_tiles: int = 0) -> dict:
         relrow[slot_tile, slot_pos] = rows - window[slot_tile]
     assert relrow.max(initial=0) < WINDOW
 
-    # --- static scatter schedule: two 128-row halves per tile, sorted
-    # by destination block so the final segment-sum sees sorted ids
+    # --- static scatter schedule: two 128-row halves per tile, kept in
+    # tile order (nearly sorted; see the dataclass docstring)
     half_ids = np.stack([window // 128, window // 128 + 1],
                         axis=1).reshape(-1)          # (2T,)
-    perm = np.argsort(half_ids, kind="stable")
     m_pad = _round_up(max(m, 1), 128)
     n_row_blocks = m_pad // 128 + 1  # +1: windows may overhang the edge
 
@@ -157,8 +158,7 @@ def wcoo_arrays(A: CsrMatrix, min_tiles: int = 0) -> dict:
         "lane": lane.reshape(-1).astype(np.int32),
         "vals": vals.reshape(-1),
         "relrow": relrow.astype(np.int32),
-        "scatter_perm": perm.astype(np.int32),
-        "block_ids": half_ids[perm].astype(np.int32),
+        "half_ids": half_ids.astype(np.int32),
         "n_tiles": T,
         "n_row_blocks": n_row_blocks,
     }
@@ -188,12 +188,10 @@ def _window_reduce(plan: WcooPlan, contrib):
         ct[:, None, :], onehot,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=contrib.dtype,
-        precision=jax.lax.Precision.HIGHEST)[:, 0, :]
+        precision=jax.lax.Precision.HIGH)[:, 0, :]
     halves = part.reshape(2 * T, 128)
-    halves = jnp.take(halves, plan.scatter_perm, axis=0)  # presorted order
-    y_blocks = jax.ops.segment_sum(halves, plan.block_ids,
-                                   num_segments=plan.n_row_blocks,
-                                   indices_are_sorted=True)
+    y_blocks = jax.ops.segment_sum(halves, plan.half_ids,
+                                   num_segments=plan.n_row_blocks)
     return y_blocks.reshape(-1)
 
 
@@ -205,49 +203,45 @@ def spmv_wcoo(plan: WcooPlan, x: jax.Array, alpha, beta,
     return beta * y + alpha * ax
 
 
-@partial(jax.jit, static_argnames=("t_chunk",))
+# Transient-intermediate cap for spmm_wcoo, in elements (~2 GB of f32):
+# bounds the (T, WINDOW, kc) window partials by chunking over B COLUMNS.
+# Tile-chunking via lax.scan is NOT an option: any gather inside a scan
+# lowers ~6x slower than the same gather flat (measured v5e: 97.9 ms vs
+# 15.7 ms for 3M B-row fetches).
+_MAX_PART_ELEMS = 512 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("k_chunk",))
 def spmm_wcoo(plan: WcooPlan, B: jax.Array, alpha, beta, C: jax.Array,
-              t_chunk: int = 512) -> jax.Array:
+              k_chunk: int = None) -> jax.Array:
     """SpMM with the same layout: whole B rows replace the lane pick
     (B-row gather is already block-granular), windows reduce via batched
-    MXU matmuls, scanned in tile chunks to bound the intermediate."""
+    MXU matmuls.  Gathers stay FLAT (see _MAX_PART_ELEMS note); large K
+    is column-chunked instead."""
     m, k = plan.shape[0], B.shape[1]
     T = plan.n_tiles
     n_pad = _round_up(plan.shape[1], 128)
     cols = plan.xblk * 128 + plan.lane
     B_p = jnp.pad(B, ((0, n_pad - B.shape[0]), (0, 0)))
 
-    # small plans (band/grid cells) must not pad their tile count up to a
-    # full scan chunk — that is up to t_chunk/T x wasted one-hot matmuls
-    t_chunk = max(min(t_chunk, _round_up(T, 8)), 1)
-    T_pad = _round_up(T, t_chunk)
-    pad_t = T_pad - T
-    cols_c = jnp.pad(cols.reshape(T, TILE), ((0, pad_t), (0, 0)))
-    vals_c = jnp.pad(plan.vals.reshape(T, TILE), ((0, pad_t), (0, 0)))
-    rel_c = jnp.pad(plan.relrow, ((0, pad_t), (0, 0)))
-    n_steps = T_pad // t_chunk
-
-    def step(_, s):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s * t_chunk, t_chunk)
-        cols_s, vals_s, rel_s = sl(cols_c), sl(vals_c), sl(rel_c)
-        gathered = jnp.take(B_p, cols_s.reshape(-1), axis=0)
-        contrib = vals_s.reshape(-1, 1) * gathered       # (tc*TILE, k)
-        ct = contrib.reshape(t_chunk, TILE, k)
-        onehot = (jax.lax.broadcasted_iota(
-            jnp.int32, (t_chunk, TILE, WINDOW), 2)
-            == rel_s[:, :, None]).astype(contrib.dtype)
-        part = jax.lax.dot_general(  # (tc, WINDOW, k)
+    kc = k_chunk or max(min(k, _MAX_PART_ELEMS // max(T * WINDOW, 1)), 1)
+    outs = []
+    for k0 in range(0, k, kc):
+        k1 = min(k0 + kc, k)
+        # built per chunk so the iota-compare fuses into its one dot
+        # instead of materializing a (T, TILE, WINDOW) tensor
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (T, TILE, WINDOW), 2)
+                  == plan.relrow[:, :, None]).astype(B.dtype)
+        gathered = jnp.take(B_p[:, k0:k1], cols, axis=0)  # (T*TILE, kc)
+        ct = (plan.vals[:, None] * gathered).reshape(T, TILE, k1 - k0)
+        part = jax.lax.dot_general(  # (T, WINDOW, kc)
             onehot, ct,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=contrib.dtype,
-            precision=jax.lax.Precision.HIGHEST)
-        return None, part.reshape(2 * t_chunk, 128, k)
-
-    _, parts = jax.lax.scan(step, None, jnp.arange(n_steps))
-    halves = parts.reshape(2 * T_pad, 128, k)[: 2 * T]
-    halves = jnp.take(halves, plan.scatter_perm, axis=0)
-    c_blocks = jax.ops.segment_sum(halves, plan.block_ids,
-                                   num_segments=plan.n_row_blocks,
-                                   indices_are_sorted=True)
-    ab = c_blocks.reshape(-1, k)[:m]
+            preferred_element_type=ct.dtype,
+            precision=jax.lax.Precision.HIGH)
+        halves = part.reshape(2 * T, 128, k1 - k0)
+        c_blocks = jax.ops.segment_sum(halves, plan.half_ids,
+                                       num_segments=plan.n_row_blocks)
+        outs.append(c_blocks.reshape(-1, k1 - k0)[:m])
+    ab = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return beta * C + alpha * ab

@@ -98,14 +98,14 @@ def test_spmm_coo_chunked_equals_unchunked():
                                rtol=1e-12)
 
 
-def test_spmm_ell_slot_chunking():
+def test_spmm_ell_k_chunking():
     A = uniform_random(40, 40, 7, seed=9)
     B, C = _operands_mat(A, k=8)
     plan = EllPlan.from_csr(A, dtype=jnp.float64)
     a = spmm_ell(plan, jnp.asarray(B.values), 1.0, 1.0,
-                 jnp.asarray(C.values), slot_chunk=3)
+                 jnp.asarray(C.values), k_chunk=3)
     b = spmm_ell(plan, jnp.asarray(B.values), 1.0, 1.0,
-                 jnp.asarray(C.values), slot_chunk=8)
+                 jnp.asarray(C.values), k_chunk=8)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
 
 

@@ -49,7 +49,10 @@ def test_plan_invariants(A):
     np.testing.assert_allclose(np.sort(np.asarray(plan.vals)[
         np.asarray(plan.vals) != 0]), np.sort(A.values[A.values != 0]))
     # block ids sorted for the final segment-sum
-    assert np.all(np.diff(np.asarray(plan.block_ids)) >= 0)
+    # half ids come in (w, w+1) pairs with monotone window starts
+    hid = np.asarray(plan.half_ids)
+    assert np.all(np.diff(hid[0::2]) >= 0)
+    assert np.array_equal(hid[1::2], hid[0::2] + 1)
 
 
 @pytest.mark.parametrize("alpha,beta", [(1.0, 1.0), (3.0, 4.0)])
@@ -67,7 +70,7 @@ def test_spmm_wcoo_matches_oracle(A):
     C = DenseMatrix.constant(A.height, 24, 1.0)
     plan = WcooPlan.from_csr(A, dtype=jnp.float64)
     got = spmm_wcoo(plan, jnp.asarray(B.values), 3.0, 4.0,
-                    jnp.asarray(C.values), t_chunk=4)
+                    jnp.asarray(C.values), k_chunk=4)
     assert_equal(np.asarray(got), spmm_cpu(A, B, 3.0, 4.0, C))
 
 
