@@ -37,33 +37,43 @@ def main() -> int:
     import jax.numpy as jnp
 
     from sblas_tpu.containers import DenseMatrix, DenseVector
-    from sblas_tpu.io.generate import fem_banded_like
+    from sblas_tpu.io.generate import fem_shell_like, webbase_like
     from sblas_tpu.memory import host_resident_plan, spmm_um, spmv_um
     from sblas_tpu.utils.timing import trace_scope
 
-    n = 10_000 if small else 90_449
-    A = fem_banded_like(n=n, dtype=np.float32)
+    # the reference profiles spmm_test_um on s3dkq4m2 and spmv_test_um on
+    # webbase-1M (profiling.sh:6,16) — same split here, over the proxies
+    A = (fem_shell_like(nx=51, ny=25, dof=6, n_target=51 * 25 * 6 - 1,
+                        dtype=np.float32)
+         if small else fem_shell_like(dtype=np.float32))
+    W = webbase_like(n=50_000 if small else 1_000_000, dtype=np.float32)
     hp = host_resident_plan(A, dtype=jnp.float32,
                             hbm_budget_bytes=32 << 20)
+    hpw = host_resident_plan(W, dtype=jnp.float32,
+                             hbm_budget_bytes=16 << 20)
     B = jnp.asarray(DenseMatrix.random(A.width, 64, dtype=np.float32).values)
     C = jnp.asarray(
         DenseMatrix.constant(A.height, 64, 1.0, dtype=np.float32).values)
-    x = jnp.asarray(DenseVector.random(A.width, dtype=np.float32).values)
+    x = jnp.asarray(DenseVector.random(W.width, dtype=np.float32).values)
     y = jnp.asarray(
-        DenseVector.constant(A.height, 1.0, dtype=np.float32).values)
-    print(f"workload: {A.shape} nnz={A.nnz}, {hp.n_bands} bands "
-          f"[{hp.kind}]", file=sys.stderr)
+        DenseVector.constant(W.height, 1.0, dtype=np.float32).values)
+    print(f"spmm workload: {A.shape} nnz={A.nnz}, {hp.n_bands} bands "
+          f"[{hp.kind}]; spmv workload: {W.shape} nnz={W.nnz}, "
+          f"{hpw.n_bands} bands [{hpw.kind}]", file=sys.stderr)
 
     runs = {
         "spmm_um_tuning0": lambda: spmm_um(hp, B, 1.0, 1.0, C, tuning=False),
         "spmm_um_tuning1": lambda: spmm_um(hp, B, 1.0, 1.0, C, tuning=True),
-        "spmv_um_tuning0": lambda: spmv_um(hp, x, 1.0, 1.0, y, tuning=False),
-        "spmv_um_tuning1": lambda: spmv_um(hp, x, 1.0, 1.0, y, tuning=True),
+        "spmv_um_tuning0": lambda: spmv_um(hpw, x, 1.0, 1.0, y,
+                                           tuning=False),
+        "spmv_um_tuning1": lambda: spmv_um(hpw, x, 1.0, 1.0, y, tuning=True),
     }
     for name, fn in runs.items():
         hp.remove_gpu_tuning()
+        hpw.remove_gpu_tuning()
         jax.block_until_ready(fn())  # compile outside the trace
         hp.remove_gpu_tuning()
+        hpw.remove_gpu_tuning()
         trace_dir = os.path.join(outdir, name)
         with jax.profiler.trace(trace_dir):
             with trace_scope(name):

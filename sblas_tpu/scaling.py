@@ -85,7 +85,11 @@ def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
     """Human-readable per-mode scaling lines for one workload."""
     result_bytes = m * max(k, 1) * itemsize
     halo_bytes = halo_rows * max(k, 1) * itemsize
-    modes = ["mode1", "mode2_psum", "mode2_psum_scatter"]
+    # mode 1 (partition dense B, zero collectives) only exists for SpMM —
+    # SpMV has no B columns to shard (reference spmv.h has only the
+    # partition-A driver)
+    modes = (["mode1"] if op == "spmm" else []) \
+        + ["mode2_psum", "mode2_psum_scatter"]
     if halo_rows:
         modes.append("halo")
     lines = [f"# scaling[{op}] t1={t1_ms:.3f} ms, result "
