@@ -98,7 +98,7 @@ def main() -> int:
     # edges) costs ~15 s on this host; persist it like FFTW wisdom.
     # v2: skewed proxy + hub peeling (cache is keyed by file name).
     from sblas_tpu.io.plancache import load_plan, save_plan
-    cache = os.path.join(".bench_cache", "webbase_spmv_f32_v2.npz")
+    cache = os.path.join(".bench_cache", "webbase_spmv_f32_v3.npz")
     if os.path.exists(cache):
         wbest = load_plan(cache)
     else:

@@ -62,7 +62,31 @@ def _interpret() -> bool:
 # Layout math (shared by from_csr and the distributed size probe)
 # ---------------------------------------------------------------------------
 
-def _gather_layout(cols: np.ndarray, nnz: int):
+def _balanced_relabel(n: int, res_cols: np.ndarray):
+    """Column permutation pi (n,) balancing residual gather load across
+    (slab, bucket) pairs: columns sorted by descending count snake-fill
+    the buckets, so every bucket's total lands within one column of the
+    mean and tiles_per_slab collapses to ~ceil(mean/128).
+
+    Without this the bucket maxima govern the tile count: on the skewed
+    webbase proxy T_g*SLAB was 4.9M slots for 2.43M residual nnz; balanced
+    it is ~3.1M, which (with the stack bound) pulls route_n from 6.29M
+    down to 4.19M.  Lane index = fill cycle (< 128 by construction since
+    buckets hold ceil(n / (n_slabs*128)) <= 128 columns)."""
+    counts = np.bincount(res_cols, minlength=n).astype(np.int64)
+    n_slabs = max(-(-n // SLAB), 1)
+    B = n_slabs * LANES
+    order = np.argsort(-counts, kind="stable").astype(np.int32)
+    r = np.arange(n, dtype=np.int32)
+    cycle, pos = r // B, r % B
+    b = np.where(cycle % 2 == 0, pos, B - 1 - pos)
+    slot = (b * LANES + cycle).astype(np.int32)
+    pi = np.empty(n, dtype=np.int32)
+    pi[order] = slot
+    return pi, n_slabs
+
+
+def _gather_layout(cols: np.ndarray, nnz: int, n_slabs_min: int = 0):
     """Slab/bucket gather tiling: returns (gslot (nnz,) i32, tiles_per_slab
     (n_slabs,) i64, n_slabs).  Natural tile count = tiles_per_slab.sum()."""
     slab = cols // SLAB
@@ -73,6 +97,7 @@ def _gather_layout(cols: np.ndarray, nnz: int):
     pos = (np.arange(nnz, dtype=np.int32)
            - np.searchsorted(key_s, key_s, side="left").astype(np.int32))
     n_slabs = int(slab.max(initial=0)) + 1 if nnz else 1
+    n_slabs = max(n_slabs, n_slabs_min, 1)
     counts = np.bincount(key_s, minlength=n_slabs * LANES)
     tiles_per_slab = np.maximum(
         -(-counts.reshape(n_slabs, LANES).max(axis=1) // LANES), 1)
@@ -151,7 +176,13 @@ def routed_shard_sizes(A: CsrMatrix, config: SBlasConfig = DEFAULT):
     peeled = _peel_split(cols, A.shape[1], A.nnz,
                          config.routed_peel_threshold)
     res = cols[~peeled]
-    _, tiles_per_slab, _ = _gather_layout(res, len(res))
+    if len(res):
+        pi, n_slabs_x = _balanced_relabel(A.shape[1], res)
+        res = pi[res]
+    else:
+        n_slabs_x = 1
+    _, tiles_per_slab, _ = _gather_layout(res, len(res),
+                                          n_slabs_min=n_slabs_x)
     _, off64, _, _ = _stack_layout(A)
     pc = cols[peeled]
     if len(pc):
@@ -168,10 +199,11 @@ def routed_shard_sizes(A: CsrMatrix, config: SBlasConfig = DEFAULT):
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["gslab", "gidx", "gvals", "pvals", "prow_col",
-                      "tables", "brow_ids", "unrank_tables"],
-         meta_fields=["schedule", "unrank_schedule", "shape", "nnz",
-                      "n_gtiles", "n_srows", "n_prows", "n_blocks",
-                      "route_n", "unrank_n"])
+                      "tables", "brow_ids", "unrank_tables",
+                      "xroute_tables"],
+         meta_fields=["schedule", "unrank_schedule", "xroute_schedule",
+                      "shape", "nnz", "n_gtiles", "n_srows", "n_prows",
+                      "n_blocks", "route_n", "unrank_n", "xroute_n"])
 @dataclasses.dataclass(frozen=True)
 class RoutedPlan:
     """Plan for the three-stage routed SpMV (see module docstring).
@@ -200,8 +232,10 @@ class RoutedPlan:
     tables: Tuple
     brow_ids: jax.Array
     unrank_tables: Tuple
+    xroute_tables: Tuple
     schedule: Tuple
     unrank_schedule: Tuple
+    xroute_schedule: Tuple
     shape: Tuple[int, int]
     nnz: int
     n_gtiles: int
@@ -210,6 +244,7 @@ class RoutedPlan:
     n_blocks: int
     route_n: int
     unrank_n: int
+    xroute_n: int  # 0 = no balanced relabel (no residual entries)
 
     @property
     def gather_fill(self) -> float:
@@ -250,14 +285,33 @@ class RoutedPlan:
         pe_idx = np.flatnonzero(peeled)
         res_cols = cols[res_idx]
 
+        # ---- balanced relabel + x route (skipped when nothing residual;
+        # min_gtiles > 0 means distributed stacking, where every shard
+        # must carry the same xroute schedule — an empty shard builds the
+        # identity relabel) ----
+        if len(res_idx) or min_gtiles:
+            if len(res_idx):
+                pi, n_slabs_x = _balanced_relabel(n, res_cols)
+            else:
+                n_slabs_x = max(-(-n // SLAB), 1)
+                pi = np.arange(n, dtype=np.int32)
+            p_cols = pi[res_cols]
+            N_x = routable_size(n_slabs_x * SLAB)
+            perm_x = np.full(N_x, -1, dtype=np.int32)
+            perm_x[pi] = np.arange(n, dtype=np.int32)
+            perm_x[perm_x < 0] = np.arange(n, N_x, dtype=np.int32)
+            progx = build_route(perm_x)
+        else:
+            p_cols, n_slabs_x, N_x, progx = res_cols, 1, 0, None
+
         # ---- gather tiling: per (slab, bucket) runs of <= 128 lanes ----
         gslot_res, tiles_per_slab, n_slabs = _gather_layout(
-            res_cols, len(res_idx))
+            p_cols, len(res_idx), n_slabs_min=n_slabs_x)
         T_g = max(int(tiles_per_slab.sum()), int(min_gtiles))
 
         gidx = np.zeros(T_g * SLAB, dtype=np.int32)
         gvals = np.zeros(T_g * SLAB, dtype=np_val)
-        gidx[gslot_res] = (res_cols % LANES).astype(np.int32)
+        gidx[gslot_res] = (p_cols % LANES).astype(np.int32)
         gvals[gslot_res] = vals_np[res_idx]
         gslab_arr = np.repeat(
             np.arange(n_slabs, dtype=np.int32), tiles_per_slab)
@@ -327,8 +381,11 @@ class RoutedPlan:
             tables=_tables(prog),
             brow_ids=jnp.asarray(brow_ids),
             unrank_tables=_tables(prog2),
+            xroute_tables=_tables(progx) if progx is not None else (),
             schedule=prog.schedule,
             unrank_schedule=prog2.schedule,
+            xroute_schedule=(progx.schedule if progx is not None else ()),
+            xroute_n=N_x,
             shape=A.shape, nnz=nnz, n_gtiles=T_g, n_srows=S, n_prows=R_p,
             n_blocks=n_blocks, route_n=prog.n, unrank_n=prog2.n)
 
@@ -358,8 +415,17 @@ def _gathered_contrib(plan: RoutedPlan, x: jax.Array) -> jax.Array:
 
     n = plan.shape[1]
     n_slabs = _round_up(n, SLAB) // SLAB
-    x_slabs = jnp.pad(x, (0, n_slabs * SLAB - n)).reshape(
-        n_slabs, LANES, LANES)
+    if plan.xroute_n:
+        # balanced relabel: x permuted into slot order (one small route —
+        # ~n elements — buys near-uniform bucket loads and a much smaller
+        # main route; see _balanced_relabel)
+        xr = apply_route(plan.xroute_schedule,
+                         jnp.pad(x, (0, plan.xroute_n - n)),
+                         plan.xroute_tables)
+        x_slabs = xr[: n_slabs * SLAB].reshape(n_slabs, LANES, LANES)
+    else:
+        x_slabs = jnp.pad(x, (0, n_slabs * SLAB - n)).reshape(
+            n_slabs, LANES, LANES)
     T_g = plan.n_gtiles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
