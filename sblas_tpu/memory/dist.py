@@ -182,20 +182,18 @@ def _um_dist_spmv_program(mesh: Mesh, axis: str, kind: str, m: int,
     m_full = _round_up(m + band_rows, nd * 128)
 
     def fn(stacked, offs, x, y, alpha, beta):
-        # per-device leaves: (n_bands, 1, ...); offs (n_bands, 1, 1)
-        plans = jax.tree_util.tree_map(lambda a: a[:, 0], stacked)
-        dtype = x.dtype
-
-        def step(partial, band):
-            plan, off = band
+        # per-device leaves: (n_bands, 1, ...); offs (n_bands, 1, 1).
+        # UNROLLED over bands: gathers inside lax.scan lower ~6x slower
+        # than flat (see CLAUDE.md)
+        n_bands = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        partial = _match_vma(jnp.zeros(m_full, x.dtype),
+                             *jax.tree_util.tree_leaves(stacked))
+        for b in range(n_bands):
+            plan = jax.tree_util.tree_map(lambda a: a[b, 0], stacked)
             local = _band_matvec(kind, plan, x).astype(partial.dtype)
+            off = offs[b, 0, 0]
             win = lax.dynamic_slice(partial, (off,), (band_rows,))
-            return lax.dynamic_update_slice(partial, win + local,
-                                            (off,)), None
-
-        partial0 = _match_vma(jnp.zeros(m_full, dtype),
-                              *jax.tree_util.tree_leaves(stacked))
-        partial, _ = lax.scan(step, partial0, (plans, offs[:, 0, 0]))
+            partial = lax.dynamic_update_slice(partial, win + local, (off,))
         return beta * y + alpha * lax.psum(partial, axis)[:m]
 
     return jax.jit(jax.shard_map(
@@ -211,21 +209,19 @@ def _um_dist_spmm_program(mesh: Mesh, axis: str, kind: str, m: int,
     m_full = _round_up(m + band_rows, nd * 128)
 
     def fn(stacked, offs, B, C, alpha, beta):
-        plans = jax.tree_util.tree_map(lambda a: a[:, 0], stacked)
-        dtype = B.dtype
-
-        def step(partial, band):
-            plan, off = band
+        # unrolled over bands — see the SpMV program
+        n_bands = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        partial = _match_vma(jnp.zeros((m_full, B.shape[1]), B.dtype),
+                             *jax.tree_util.tree_leaves(stacked))
+        for b in range(n_bands):
+            plan = jax.tree_util.tree_map(lambda a: a[b, 0], stacked)
             local = _band_matmul(kind, plan, B).astype(partial.dtype)
+            off = offs[b, 0, 0]
             z = jnp.zeros((), off.dtype)
             win = lax.dynamic_slice(partial, (off, z),
                                     (band_rows, partial.shape[1]))
-            return lax.dynamic_update_slice(partial, win + local,
-                                            (off, z)), None
-
-        partial0 = _match_vma(jnp.zeros((m_full, B.shape[1]), dtype),
-                              *jax.tree_util.tree_leaves(stacked))
-        partial, _ = lax.scan(step, partial0, (plans, offs[:, 0, 0]))
+            partial = lax.dynamic_update_slice(partial, win + local,
+                                               (off, z))
         return beta * C + alpha * lax.psum(partial, axis)[:m]
 
     return jax.jit(jax.shard_map(

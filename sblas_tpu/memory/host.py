@@ -337,21 +337,27 @@ def _stacked_bands(hplan: HostResidentPlan):
 
 @partial(jax.jit, static_argnames=("kind", "m"))
 def _spmm_tuned(kind, stacked, B, alpha, beta, C, m):
-    def step(_, band):
-        return None, _band_matmul(kind, band, B)
-
-    _, parts = jax.lax.scan(step, None, stacked)
-    ab = parts.reshape(-1, B.shape[1])[:m]
+    # UNROLLED over bands (n_bands is static): a lax.scan here would put
+    # the band kernels' gathers inside a loop, which lowers ~6x slower
+    # than the same gathers flat (measured v5e, see CLAUDE.md)
+    n_bands = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    parts = [_band_matmul(kind,
+                          jax.tree_util.tree_map(lambda a: a[i], stacked),
+                          B)
+             for i in range(n_bands)]
+    ab = jnp.concatenate(parts, axis=0)[:m]
     return beta * C + alpha * ab
 
 
 @partial(jax.jit, static_argnames=("kind", "m"))
 def _spmv_tuned(kind, stacked, x, alpha, beta, y, m):
-    def step(_, band):
-        return None, _band_matvec(kind, band, x)
-
-    _, parts = jax.lax.scan(step, None, stacked)
-    return beta * y + alpha * parts.reshape(-1)[:m]
+    # unrolled over bands — see _spmm_tuned
+    n_bands = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    parts = [_band_matvec(kind,
+                          jax.tree_util.tree_map(lambda a: a[i], stacked),
+                          x)
+             for i in range(n_bands)]
+    return beta * y + alpha * jnp.concatenate(parts)[:m]
 
 
 def spmm_um(hplan: HostResidentPlan, B, alpha, beta, C,
