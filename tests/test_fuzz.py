@@ -50,3 +50,49 @@ def test_fuzz_all_kinds(seed):
         gotm = spmm(plan, jnp.asarray(B.values), alpha, beta,
                     jnp.asarray(C.values))
         assert_equal(np.asarray(gotm), want_m)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_um_streaming(seed):
+    """Host-resident band streaming on random structures x random budgets
+    x both tuning modes, every kind auto-selected, vs the oracle."""
+    from sblas_tpu.memory import host_resident_plan, spmm_um, spmv_um
+    rng = np.random.default_rng(100 + seed)
+    A = _random_csr(rng)
+    budget = int(rng.integers(8, 200)) << 10
+    tuning = bool(seed % 2)
+    alpha = float(rng.uniform(-2, 2))
+    beta = float(rng.uniform(-2, 2))
+    hp = host_resident_plan(A, dtype=jnp.float64, hbm_budget_bytes=budget)
+    x = DenseVector.random(A.width)
+    y = DenseVector.random(A.height)
+    got = spmv_um(hp, jnp.asarray(x.values), alpha, beta,
+                  jnp.asarray(y.values), tuning=tuning)
+    assert_equal(np.asarray(got), spmv_cpu(A, x, alpha, beta, y))
+    k = int(rng.integers(1, 12))
+    B = DenseMatrix.random(A.width, k)
+    C = DenseMatrix.random(A.height, k)
+    gotm = spmm_um(hp, jnp.asarray(B.values), alpha, beta,
+                   jnp.asarray(C.values), tuning=tuning)
+    assert_equal(np.asarray(gotm), spmm_cpu(A, B, alpha, beta, C))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_um_hostdense(seed):
+    """Random 2-D grid SpMM with B and C pinned host."""
+    from sblas_tpu.memory import (HostDense, host_resident_grid,
+                                  spmm_um_hostdense)
+    rng = np.random.default_rng(200 + seed)
+    A = _random_csr(rng)
+    k = int(rng.integers(1, 10))
+    budget = int(rng.integers(24, 200)) << 10
+    alpha = float(rng.uniform(-2, 2))
+    beta = float(rng.uniform(-2, 2))
+    grid = host_resident_grid(A, dtype=jnp.float64,
+                              hbm_budget_bytes=budget, k=k)
+    B = DenseMatrix.random(A.width, k)
+    C = DenseMatrix.random(A.height, k)
+    got = spmm_um_hostdense(grid, HostDense.from_array(B.values), alpha,
+                            beta, HostDense.from_array(C.values),
+                            tuning=bool(seed % 2))
+    assert_equal(got.to_numpy(), spmm_cpu(A, B, alpha, beta, C))

@@ -52,3 +52,19 @@ def test_report_flags_80pct_target():
     lines = report_lines("spmm", 0.1, 10_000_000, 64, 4, chips=(16,))
     joined = "\n".join(lines)
     assert "mode1 100%" in joined
+
+
+def test_measured_multichip_smoke():
+    """Direct measurement path (used when real multi-chip hardware exists)
+    executes on the virtual mesh and returns per-n timings."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sblas_tpu.io.generate import fem_banded_like
+    from sblas_tpu.parallel import make_mesh
+    from sblas_tpu.scaling import measured_multichip
+
+    A = fem_banded_like(n=600, half_band=5, dtype=np.float64)
+    mesh = make_mesh(4)
+    rows = measured_multichip("spmv", A, 4, jnp.float64, mesh, chips=(4,))
+    assert len(rows) == 1 and rows[0][0] == 4 and rows[0][1] > 0
