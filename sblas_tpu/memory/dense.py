@@ -226,3 +226,22 @@ def spmm_um_hostdense(grid: HostResidentGrid, B: HostDense, alpha, beta,
     # the full m x K result in HBM — the exact thing this path avoids
     result_np = np.concatenate([np.asarray(b) for b in out_bands], axis=0)
     return HostDense(values=jax.device_put(result_np, host), shape=(m, k))
+
+
+def spmv_um_hostdense(grid: HostResidentGrid, x: HostDense, alpha, beta,
+                      y: HostDense, tuning: bool = False) -> HostDense:
+    """y' = beta*y + alpha*A@x with A, x AND y host-DRAM-resident
+    (reference DenseVector_um, matrix_um.h:918-1075).  Runs the 2-D cell
+    grid with a width-1 dense operand."""
+    require(x.shape == (grid.shape[1],), ShapeError,
+            f"x shape {x.shape} != ({grid.shape[1]},)")
+    require(y.shape == (grid.shape[0],), ShapeError,
+            f"y shape {y.shape} != ({grid.shape[0]},)")
+    x2 = HostDense(values=x.values.reshape(-1, 1), shape=(x.shape[0], 1),
+                   _device=(None if x._device is None
+                            else x._device.reshape(-1, 1)))
+    y2 = HostDense(values=y.values.reshape(-1, 1), shape=(y.shape[0], 1),
+                   _device=(None if y._device is None
+                            else y._device.reshape(-1, 1)))
+    out = spmm_um_hostdense(grid, x2, alpha, beta, y2, tuning=tuning)
+    return HostDense(values=out.values.reshape(-1), shape=(grid.shape[0],))

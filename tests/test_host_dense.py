@@ -80,3 +80,20 @@ def test_grid_cells_on_host():
     for cell in grid.cells.values():
         for leaf in jax.tree.leaves(cell):
             assert leaf.sharding.memory_kind == "pinned_host"
+
+
+@pytest.mark.parametrize("tuning", [False, True])
+def test_spmv_hostdense(tuning):
+    """x and y host-resident (DenseVector_um, matrix_um.h:918-1075)."""
+    from sblas_tpu.containers import DenseVector
+    from sblas_tpu.memory import spmv_um_hostdense
+    from sblas_tpu.ops.cpu_reference import spmv_cpu
+    A = fem_banded_like(n=1800, half_band=12)
+    grid = host_resident_grid(A, dtype=jnp.float64,
+                              hbm_budget_bytes=64 << 10, k=1)
+    x = DenseVector.random(A.width)
+    y = DenseVector.constant(A.height, 1.0)
+    got = spmv_um_hostdense(grid, HostDense.from_array(x.values), 3.0, 4.0,
+                            HostDense.from_array(y.values), tuning=tuning)
+    assert got.to_numpy().shape == (A.height,)
+    assert_equal(got.to_numpy(), spmv_cpu(A, x, 3.0, 4.0, y))
