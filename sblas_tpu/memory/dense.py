@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import DEFAULT, SBlasConfig
 from ..containers import CsrMatrix
-from ..utils.errors import PartitionError, ShapeError, require
+from ..utils.errors import ShapeError, require
 from .host import (_INFLIGHT, _band_matmul, _choose_band_kind,
                    _device_sharding, _host_sharding, _to_device,
                    build_band_plan, probe_band_dims)

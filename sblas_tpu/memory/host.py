@@ -42,7 +42,7 @@ from ..ops.plans import EllPlan
 from ..ops.spmm import spmm_coo, spmm_ell
 from ..ops.spmv import spmv_coo, spmv_ell
 from ..ops.wcoo import spmm_wcoo, spmv_wcoo
-from ..utils.errors import PartitionError, require
+from ..utils.errors import PartitionError
 
 # Bands kept in flight during streaming (band i+2 transfers while band i
 # computes — the double-buffer depth of the reference's prefetch pipeline).

@@ -39,7 +39,7 @@ from ..ops.dia import DiaPlan, dia_arrays, spmm_dia, spmv_dia
 from ..ops.plans import CooPlan, EllPlan, ell_arrays
 from ..ops.spmm import spmm_coo, spmm_ell
 from ..ops.spmv import spmv_coo, spmv_ell
-from ..partition import RowBlocks, partition_row_blocks
+from ..partition import partition_row_blocks
 from ..utils.errors import PartitionError, ShapeError, require
 from .mesh import DEFAULT_AXIS
 

@@ -151,7 +151,6 @@ def measured_multichip(op: str, A, k: int, dtype, mesh, chips) -> list:
 def main() -> int:
     """Standalone harness: measure single-chip t1 on both reference
     workloads and print the per-mode scaling table."""
-    import sys
 
     import jax.numpy as jnp
     import numpy as np

@@ -75,3 +75,22 @@ def test_dtype_recorded(tmp_path):
     save_plan(str(p), plan)
     plan2 = load_plan(str(p))
     assert plan2.vals.dtype == plan.vals.dtype
+
+
+def test_load_pre_dtype_record_files(tmp_path):
+    """Files saved before the dtype record existed (round 1) still load."""
+    import json
+
+    A = fem_banded_like(n=300, half_band=4, dtype=np.float64)
+    plan = make_plan(A, dtype=jnp.float64, force="ell")
+    p = tmp_path / "old.npz"
+    save_plan(str(p), plan)
+    with np.load(str(p)) as z:
+        blobs = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(blobs["__meta__"]).decode())
+    meta.pop("__dtypes__")  # simulate a round-1 file
+    blobs["__meta__"] = np.frombuffer(json.dumps(meta).encode(),
+                                      dtype=np.uint8)
+    np.savez_compressed(str(p), **blobs)
+    plan2 = load_plan(str(p))
+    assert type(plan2) is type(plan)
