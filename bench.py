@@ -62,7 +62,6 @@ def main() -> int:
     B = jnp.asarray(DenseMatrix.random(A.width, K, dtype=np.float32).values)
     C0 = jnp.asarray(
         DenseMatrix.constant(A.height, K, 1.0, dtype=np.float32).values)
-    Bc = B[: A.height]  # carry-coupling slice (square here: full B)
 
     base_plan = CooPlan.from_csr(A, dtype=jnp.float32)
     best_plan = make_plan(A, dtype=jnp.float32, op="spmm")
@@ -73,11 +72,17 @@ def main() -> int:
     assert_equal(np.asarray(spmm(best_plan, B, 1.0, 1.0, C0)), want,
                  relative=True)
 
+    # coupling rules (measured, see CLAUDE.md): the carry MUST be the
+    # accumulate operand (C), and the primary-operand eps must be NONZERO —
+    # 0.0*carry folds away and lets XLA hoist loop-invariant stages (the
+    # routed x-permute hoisted under a 0.0 coupling: 0.61 vs the honest
+    # 0.72 ms); an eps with a FIXED accumulate operand overstates ~2x
+    # (3.36 vs the f^k ground truth 1.59 ms on DIA SpMM)
     def step_base(C, plan):
-        return spmm_coo(plan, B + 0.0 * Bc * C[:1].mean(), 1.0, 1.0, C)
+        return spmm_coo(plan, B + 1e-6 * C[:1].mean(), 1.0, 1.0, C)
 
     def step_best(C, plan):
-        return spmm(plan, B + 0.0 * Bc * C[:1].mean(), 1.0, 1.0, C)
+        return spmm(plan, B + 1e-6 * C[:1].mean(), 1.0, 1.0, C)
 
     ms_base = loop_time_ms(step_base, C0, args=(base_plan,))
     ms_best = loop_time_ms(step_best, C0, args=(best_plan,))  # unclamped
@@ -111,10 +116,10 @@ def main() -> int:
                  DenseVector(np.asarray(yw))), relative=True)
 
     def wstep_base(y, plan):
-        return spmv_coo(plan, xw0 + 0.0 * y, 1.0, 1.0, yw)
+        return spmv_coo(plan, xw0 + 1e-6 * y, 1.0, 1.0, y)
 
     def wstep_best(y, plan):
-        return spmv(plan, xw0 + 0.0 * y, 1.0, 1.0, yw)
+        return spmv(plan, xw0 + 1e-6 * y, 1.0, 1.0, y)
 
     ms_wb = loop_time_ms(wstep_base, yw, args=(wbase,))
     ms_wbest = loop_time_ms(wstep_best, yw, args=(wbest,))  # unclamped
@@ -134,10 +139,9 @@ def main() -> int:
         np.asarray(spmm(wm_plan, Bw, 1.0, 1.0, Cw0)),
         spmm_cpu(W, DenseMatrix(np.asarray(Bw)), 1.0, 1.0,
                  DenseMatrix(np.asarray(Cw0))), relative=True)
-    Bwc = Bw[: W.height]
 
     def wmstep(C, plan):
-        return spmm(plan, Bw + 0.0 * Bwc * C[:1].mean(), 1.0, 1.0, C)
+        return spmm(plan, Bw + 1e-6 * C[:1].mean(), 1.0, 1.0, C)
 
     ms_wm = loop_time_ms(wmstep, Cw0, args=(wm_plan,), reps=3)
     print(f"# spmm k64 webbase (unstructured, {type(wm_plan).__name__}): "

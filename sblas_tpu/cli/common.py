@@ -72,13 +72,19 @@ def steady_run_ms(run_once, run_coupled=None, operand_bytes: int = 0):
     the kernel whenever the kernel is small (VERDICT r1 weak#5), so:
 
     * one call clearly above 10x dispatch overhead -> report it;
-    * else, when `run_coupled(eps)` is provided (the run with `eps` folded
-      into its primary operand, forcing a data dependency) and the
-      captured operands stay under the compile-tunnel constant limit ->
-      K device-side iterations inside ONE dispatch (utils.benchtime);
+    * else, when `run_coupled(eps, prev)` is provided (the run with `eps`
+      folded into its primary operand AND `prev` — the previous output —
+      as its accumulate operand) and the captured operands stay under the
+      compile-tunnel constant limit -> K device-side iterations inside
+      ONE dispatch (utils.benchtime);
     * else amortize: R back-to-back async dispatches, one true sync —
       per-call host dispatch (~1 ms) stays in the number, which is honest
       for python-loop runs (UM streaming) that really pay it per call.
+
+    Coupling shape matters (measured v5e on DIA SpMM): eps alone with a
+    FIXED accumulate operand compiles a ~2x-slower loop (3.36 ms vs the
+    f^k ground truth 1.59 ms), while 0.0-eps couplings fold away and let
+    XLA hoist the body; eps + prev-as-accumulate matches f^k within 10%.
     """
     import time as _time
 
@@ -104,7 +110,7 @@ def steady_run_ms(run_once, run_coupled=None, operand_bytes: int = 0):
             # hoists the whole loop body (measured: ash85 "ran" in 0 ms);
             # 1e-30*carry keeps a real data dependency, and the perturbed
             # loop values are discarded — only the timing matters
-            return run_coupled(jnp.reshape(o, (-1,))[0] * 1e-30)
+            return run_coupled(jnp.reshape(o, (-1,))[0] * 1e-30, o)
 
         # escalate the device-side iteration count until the measured net
         # loop time clears the sync-noise floor (ash85-sized kernels run

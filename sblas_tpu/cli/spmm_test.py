@@ -71,10 +71,10 @@ def main(argv=None) -> int:
         "2p": lambda: spmm_mode2_planned(shards, Bd, alpha, beta, Cd, mesh),
     }[method]
     run_c = {
-        "1": lambda e: spmm_mode1(plan, Bd + e, alpha, beta, Cd, mesh),
-        "2": lambda e: spmm_mode2(segs, Bd + e, alpha, beta, Cd, mesh),
-        "2p": lambda e: spmm_mode2_planned(shards, Bd + e, alpha, beta, Cd,
-                                           mesh),
+        "1": lambda e, o: spmm_mode1(plan, Bd + e, alpha, beta, o, mesh),
+        "2": lambda e, o: spmm_mode2(segs, Bd + e, alpha, beta, o, mesh),
+        "2p": lambda e, o: spmm_mode2_planned(shards, Bd + e, alpha, beta,
+                                              o, mesh),
     }[method]
     operands = {"1": lambda: plan, "2": lambda: segs,
                 "2p": lambda: shards}[method]()
@@ -92,9 +92,10 @@ def main(argv=None) -> int:
         from ..parallel import spmm_mode2_nocomm, spmm_mode2_planned_nocomm
         nc = (lambda: spmm_mode2_nocomm(segs, Bd, mesh)) if method == "2" \
             else (lambda: spmm_mode2_planned_nocomm(shards, Bd, mesh))
-        nc_c = (lambda e: spmm_mode2_nocomm(segs, Bd + e, mesh)) \
+        nc_c = (lambda e, o: spmm_mode2_nocomm(segs, Bd + e, mesh)) \
             if method == "2" \
-            else (lambda e: spmm_mode2_planned_nocomm(shards, Bd + e, mesh))
+            else (lambda e, o: spmm_mode2_planned_nocomm(shards, Bd + e,
+                                                         mesh))
         nc()  # compile
         ms_nc, _ = steady_run_ms(nc, nc_c, tree_bytes(operands))
         times["Comm time (exposed psum)"] = max(ms - ms_nc, 0.0)

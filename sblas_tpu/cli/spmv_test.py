@@ -88,13 +88,14 @@ def main(argv=None) -> int:
         "single": lambda: spmv(plan, xd, alpha, beta, yd),
     }[mode]
     run_c = {
-        "dist": lambda e: spmv_dist(segs, xd + e, alpha, beta, yd, mesh),
-        "distp": lambda e: spmv_dist_planned(shards, xd + e, alpha, beta,
-                                             yd, mesh),
-        "halo": lambda e: spmv_halo(blocks, xd + e, alpha, beta, yd, mesh),
-        "halop": lambda e: spmv_halo_planned(hshards, xd + e, alpha, beta,
-                                             yd, mesh),
-        "single": lambda e: spmv(plan, xd + e, alpha, beta, yd),
+        "dist": lambda e, o: spmv_dist(segs, xd + e, alpha, beta, o, mesh),
+        "distp": lambda e, o: spmv_dist_planned(shards, xd + e, alpha,
+                                                beta, o, mesh),
+        "halo": lambda e, o: spmv_halo(blocks, xd + e, alpha, beta, o,
+                                       mesh),
+        "halop": lambda e, o: spmv_halo_planned(hshards, xd + e, alpha,
+                                                beta, o, mesh),
+        "single": lambda e, o: spmv(plan, xd + e, alpha, beta, o),
     }[mode]
     operands = {"dist": lambda: segs, "distp": lambda: shards,
                 "halo": lambda: blocks, "halop": lambda: hshards,
@@ -110,9 +111,10 @@ def main(argv=None) -> int:
         from ..parallel import spmv_dist_nocomm, spmv_dist_planned_nocomm
         nc = (lambda: spmv_dist_nocomm(segs, xd, mesh)) if mode == "dist" \
             else (lambda: spmv_dist_planned_nocomm(shards, xd, mesh))
-        nc_c = (lambda e: spmv_dist_nocomm(segs, xd + e, mesh)) \
+        nc_c = (lambda e, o: spmv_dist_nocomm(segs, xd + e, mesh)) \
             if mode == "dist" \
-            else (lambda e: spmv_dist_planned_nocomm(shards, xd + e, mesh))
+            else (lambda e, o: spmv_dist_planned_nocomm(shards, xd + e,
+                                                        mesh))
         nc()  # compile
         ms_nc, _ = steady_run_ms(nc, nc_c, tree_bytes(operands))
         times["Comm time (exposed psum)"] = max(ms - ms_nc, 0.0)

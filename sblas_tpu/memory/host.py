@@ -312,8 +312,11 @@ def _stream(hplan: HostResidentPlan, band_op):
     """Run `band_op` over all bands with a bounded in-flight window.
 
     Untuned mode pipelines host->HBM DMA of band i+_INFLIGHT-1 with the
-    compute of band i (JAX async dispatch does the overlap; the
-    block_until_ready pacing bounds resident HBM)."""
+    compute of band i (JAX async dispatch does the overlap).  The
+    block_until_ready pacing bounds how far the HOST runs ahead; on
+    attachments where it returns at enqueue time rather than completion
+    the device-side window can transiently exceed _INFLIGHT bands, so the
+    HBM budget is a strong target, not a hard cap."""
     parts = []
     pending = []
     for i in range(hplan.n_bands):

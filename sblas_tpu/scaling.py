@@ -130,8 +130,10 @@ def measured_multichip(op: str, A, k: int, dtype, mesh, chips) -> list:
                 DenseVector.constant(A.height, 1.0).values, dtype)
 
             def step(yc, sh):
-                return spmv_dist_planned(sh, x + 0.0 * yc[0], 1.0, 0.0, y,
-                                         mesh)
+                # carry as the accumulate operand + nonzero eps: a 0.0
+                # coupling folds and lets XLA hoist the loop body
+                return spmv_dist_planned(sh, x + 1e-6 * yc[0], 1.0, 1.0,
+                                         yc, mesh)
 
             ms = loop_time_ms(step, y, args=(shards,))
         else:
@@ -140,8 +142,8 @@ def measured_multichip(op: str, A, k: int, dtype, mesh, chips) -> list:
                 DenseMatrix.constant(A.height, k, 1.0).values, dtype)
 
             def step(Cc, sh):
-                return spmm_mode2_planned(sh, B + 0.0 * Cc[0, 0], 1.0, 0.0,
-                                          C, mesh)
+                return spmm_mode2_planned(sh, B + 1e-6 * Cc[0, 0], 1.0,
+                                          1.0, Cc, mesh)
 
             ms = loop_time_ms(step, C, args=(shards,))
         lines.append((n, ms))
@@ -168,7 +170,7 @@ def main() -> int:
     plan = make_plan(A, dtype=jnp.float32, op="spmm")
 
     def mstep(Cc, p):
-        return spmm(p, B + 0.0 * Cc[0, 0], 1.0, 1.0, C)
+        return spmm(p, B + 1e-6 * Cc[0, 0], 1.0, 1.0, Cc)
 
     t1_mm = loop_time_ms(mstep, C, args=(plan,))
     for line in report_lines("spmm", t1_mm, A.shape[0], K, 4,
@@ -182,7 +184,7 @@ def main() -> int:
     wplan = make_plan(W, dtype=jnp.float32, op="spmv")
 
     def vstep(yc, p):
-        return spmv(p, x + 0.0 * yc[0], 1.0, 1.0, y)
+        return spmv(p, x + 1e-6 * yc[0], 1.0, 1.0, yc)
 
     t1_mv = loop_time_ms(vstep, y, args=(wplan,))
     for line in report_lines("spmv", t1_mv, W.shape[0], 1, 4):
