@@ -96,3 +96,39 @@ def test_fuzz_um_hostdense(seed):
                             beta, HostDense.from_array(C.values),
                             tuning=bool(seed % 2))
     assert_equal(got.to_numpy(), spmm_cpu(A, B, alpha, beta, C))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_distributed_kinds(seed):
+    """Random structures through partition_row_plans with every applicable
+    kind, distributed SpMV/SpMM vs the oracle on the 8-device mesh."""
+    from sblas_tpu.config import SBlasConfig
+    from sblas_tpu.parallel import (make_mesh, partition_row_plans,
+                                    spmm_mode2_planned, spmv_dist_planned,
+                                    sync_to_host)
+    rng = np.random.default_rng(300 + seed)
+    A = _random_csr(rng)
+    mesh = make_mesh(4)
+    alpha = float(rng.uniform(-2, 2))
+    beta = float(rng.uniform(-2, 2))
+    x = DenseVector.random(A.width)
+    y = DenseVector.random(A.height)
+    want_v = spmv_cpu(A, x, alpha, beta, y)
+    cfg = SBlasConfig(routed_min_nnz=1, routed_min_width=1)
+    for kind in ("ell", "coo", "routed", None):
+        shards = partition_row_plans(A, 4, dtype=jnp.float64, kind=kind,
+                                     op="spmv", config=cfg)
+        got = sync_to_host(spmv_dist_planned(
+            shards, jnp.asarray(x.values), alpha, beta,
+            jnp.asarray(y.values), mesh))
+        assert_equal(got, want_v)
+    k = int(rng.integers(1, 10))
+    B = DenseMatrix.random(A.width, k)
+    C = DenseMatrix.random(A.height, k)
+    want_m = spmm_cpu(A, B, alpha, beta, C)
+    for kind in ("ell", "coo"):
+        shards = partition_row_plans(A, 4, dtype=jnp.float64, kind=kind)
+        got = sync_to_host(spmm_mode2_planned(
+            shards, jnp.asarray(B.values), alpha, beta,
+            jnp.asarray(C.values), mesh))
+        assert_equal(got, want_m)
