@@ -107,12 +107,13 @@ def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
                         config: SBlasConfig = DEFAULT) -> RowPlanShards:
     """nnz-balanced row-granular shards, each laid out as a fast plan.
 
-    `kind` in {"bsr", "ell", "dia", "routed", "coo", None}; None picks BELL
-    when the global structure is block-friendly, ELL when row occupancy is
-    balanced (same `EllPlan.is_profitable` blowup guard as `make_plan` —
-    a power-law shard must NOT allocate band_rows x max_row_nnz slots),
-    routed for large unstructured matrices when `op="spmv"` (RoutedPlan is
-    SpMV-only), COO segments otherwise."""
+    `kind` in {"bsr", "ell", "dia", "routed", "wcoo", "coo", None}; None
+    picks BELL when the global structure is block-friendly, ELL when row
+    occupancy is balanced (same `EllPlan.is_profitable` blowup guard as
+    `make_plan` — a power-law shard must NOT allocate band_rows x
+    max_row_nnz slots), routed for large unstructured matrices when
+    `op="spmv"` (RoutedPlan is SpMV-only), windowed-COO otherwise (with
+    the automatic COO-segment fallback when tile-splitting blows up)."""
     require(n_shards >= 1, PartitionError, f"bad n_shards {n_shards}")
     bounds = _row_boundaries(A, n_shards)
     band_rows = _round_up(int(np.max(bounds[1:] - bounds[:-1])) or 1, 128)
@@ -127,7 +128,7 @@ def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
         elif op == "spmv" and RoutedPlan.is_profitable(A, config):
             kind = "routed"
         else:
-            kind = "coo"
+            kind = "wcoo"
     if kind == "routed":
         return _partition_routed(A, n_shards, bounds, band_rows,
                                  dtype=dtype, config=config)
@@ -164,24 +165,16 @@ def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
             vals, offs_t = dia_arrays(sub, offsets=offs, n_rows=band_rows)
             plans.append(DiaPlan(jnp.asarray(vals, dtype), offs_t,
                                  (band_rows, A.shape[1]), A.nnz))
-    elif kind == "coo":
-        # safe universal fallback: per-shard padded row-sorted COO (tier-0
-        # segment-sum per shard, but through the same stacked-plan program)
-        nnz_pad = _round_up(max(max(sub.nnz for sub in locals_), 1),
-                            config.nnz_tile)
-        plans = []
-        for sub in locals_:
-            coo = sub.to_coo()
-            pad = nnz_pad - sub.nnz
-            rows = np.concatenate([coo.row_idx,
-                                   np.full(pad, band_rows - 1, np.int64)])
-            cols = np.concatenate([coo.col_idx, np.zeros(pad, np.int64)])
-            vals = np.concatenate(
-                [coo.values, np.zeros(pad, coo.values.dtype)])
-            plans.append(CooPlan(jnp.asarray(rows, jnp.int32),
-                                 jnp.asarray(cols, jnp.int32),
-                                 jnp.asarray(vals, dtype),
-                                 (band_rows, A.shape[1]), A.nnz))
+    elif kind in ("wcoo", "coo"):
+        # per-shard windowed-COO (the unstructured workhorse), or plain
+        # COO segments — built by the same machinery as the UM band layer
+        # (shared static dims; wcoo falls back to coo automatically when
+        # tile-splitting blows up)
+        from ..memory.host import build_band_plan, probe_band_dims
+        kind, dim = probe_band_dims(locals_, kind, A.nnz, config)
+        plans = [build_band_plan(sub, kind, dim, band_rows, A.shape[1],
+                                 A.nnz, dtype, config, put=jnp.asarray)
+                 for sub in locals_]
     else:
         raise PartitionError(f"unknown plan kind {kind!r}")
 
@@ -227,18 +220,21 @@ def _partition_routed(A: CsrMatrix, n_shards: int, bounds: np.ndarray,
 
 
 def _local_spmm(kind, plan, B):
+    from ..ops.wcoo import spmm_wcoo
     z = jnp.zeros((plan.shape[0], B.shape[1]), plan.vals.dtype)
     fn = {"bsr": spmm_bsr, "ell": spmm_ell, "dia": spmm_dia,
-          "coo": spmm_coo}[kind]
+          "coo": spmm_coo, "wcoo": spmm_wcoo}[kind]
     return fn(plan, B, 1.0, 0.0, z)
 
 
 def _local_spmv(kind, plan, x):
     from ..ops.rspmv import spmv_routed
+    from ..ops.wcoo import spmv_wcoo
     val_dtype = (plan.gvals if kind == "routed" else plan.vals).dtype
     z = jnp.zeros(plan.shape[0], val_dtype)
     fn = {"bsr": spmv_bsr, "ell": spmv_ell, "dia": spmv_dia,
-          "coo": spmv_coo, "routed": spmv_routed}[kind]
+          "coo": spmv_coo, "routed": spmv_routed,
+          "wcoo": spmv_wcoo}[kind]
     return fn(plan, x, 1.0, 0.0, z)
 
 

@@ -115,7 +115,7 @@ def test_fuzz_distributed_kinds(seed):
     y = DenseVector.random(A.height)
     want_v = spmv_cpu(A, x, alpha, beta, y)
     cfg = SBlasConfig(routed_min_nnz=1, routed_min_width=1)
-    for kind in ("ell", "coo", "routed", None):
+    for kind in ("ell", "coo", "wcoo", "routed", None):
         shards = partition_row_plans(A, 4, dtype=jnp.float64, kind=kind,
                                      op="spmv", config=cfg)
         got = sync_to_host(spmv_dist_planned(
@@ -126,7 +126,7 @@ def test_fuzz_distributed_kinds(seed):
     B = DenseMatrix.random(A.width, k)
     C = DenseMatrix.random(A.height, k)
     want_m = spmm_cpu(A, B, alpha, beta, C)
-    for kind in ("ell", "coo"):
+    for kind in ("ell", "coo", "wcoo"):
         shards = partition_row_plans(A, 4, dtype=jnp.float64, kind=kind)
         got = sync_to_host(spmm_mode2_planned(
             shards, jnp.asarray(B.values), alpha, beta,

@@ -6,7 +6,7 @@ import pytest
 
 from sblas_tpu.containers import DenseMatrix, DenseVector
 from sblas_tpu.io.generate import (adversarial_skew, fem_banded_like,
-                                   uniform_random)
+                                   uniform_random, webbase_like)
 from sblas_tpu.ops.cpu_reference import spmm_cpu, spmv_cpu
 from sblas_tpu.parallel import (make_mesh, partition_halo_dia,
                                 partition_row_plans, spmm_mode2_planned,
@@ -91,10 +91,10 @@ def test_default_kind_skew_no_ell_blowup(mesh):
     A = adversarial_skew(m=4096, n=4096, heavy_rows=4, heavy_nnz=2048,
                          dtype=np.float64)
     shards = partition_row_plans(A, N_DEV, dtype=jnp.float64)
-    assert shards.kind == "coo"
+    assert shards.kind in ("wcoo", "coo")
     # the stacked plan must stay near the nnz footprint, not m*max_row_nnz
     total_slots = shards.plan.vals.size
-    assert total_slots < 4 * A.nnz + N_DEV * 1024
+    assert total_slots < 8 * A.nnz + N_DEV * 128 * 128
     x = DenseVector.random(A.width)
     y = DenseVector.constant(A.height, 1.0)
     got = sync_to_host(spmv_dist_planned(
@@ -129,7 +129,8 @@ def test_routed_heuristic_needs_spmv_op():
                          seed=3, dtype=np.float64)
     assert partition_row_plans(A, 4, kind=None, op="spmv",
                                config=cfg).kind == "routed"
-    assert partition_row_plans(A, 4, kind=None, config=cfg).kind == "coo"
+    assert partition_row_plans(A, 4, kind=None,
+                               config=cfg).kind in ("wcoo", "coo")
 
 
 def test_routed_shards_reject_spmm(mesh):
@@ -144,3 +145,29 @@ def test_routed_shards_reject_spmm(mesh):
     with pytest.raises(PartitionError):
         spmm_mode2_planned(shards, jnp.asarray(B.values), 1.0, 1.0,
                            jnp.asarray(C.values), mesh)
+
+
+@pytest.mark.parametrize("reduce", ["psum", "psum_scatter"])
+def test_spmm_mode2_planned_wcoo(mesh, reduce):
+    """Distributed unstructured SpMM rides per-shard windowed-COO instead
+    of tier-0 segments."""
+    A = webbase_like(n=9000, avg_deg=3.0, seed=17, local_scale=120.0)
+    shards = partition_row_plans(A, N_DEV, dtype=jnp.float64, kind="wcoo")
+    assert shards.kind == "wcoo"
+    B = DenseMatrix.random(A.width, 6)
+    C = DenseMatrix.constant(A.height, 6, 1.0)
+    got = sync_to_host(spmm_mode2_planned(
+        shards, jnp.asarray(B.values), 3.0, 4.0, jnp.asarray(C.values),
+        mesh, reduce=reduce))
+    assert_equal(np.asarray(got), spmm_cpu(A, B, 3.0, 4.0, C))
+
+
+def test_spmv_dist_planned_wcoo(mesh):
+    A = webbase_like(n=9000, avg_deg=3.0, seed=17, local_scale=120.0)
+    shards = partition_row_plans(A, N_DEV, dtype=jnp.float64, kind="wcoo")
+    x = DenseVector.random(A.width)
+    y = DenseVector.constant(A.height, 1.0)
+    got = sync_to_host(spmv_dist_planned(
+        shards, jnp.asarray(x.values), 2.0, 3.0, jnp.asarray(y.values),
+        mesh))
+    assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))
