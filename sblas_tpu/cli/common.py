@@ -59,24 +59,20 @@ def tree_bytes(x) -> int:
                for leaf in jax.tree_util.tree_leaves(x))
 
 
-# Plans larger than this cannot be closure-captured inside a timing loop:
-# captured arrays embed as HLO constants and the remote-compile tunnel
-# rejects big request bodies (HTTP 413 around a few hundred MB).
-_LOOP_CONST_LIMIT = 100 << 20
-
-
-def steady_run_ms(run_once, run_coupled=None, operand_bytes: int = 0):
+def steady_run_ms(run_once, run_coupled=None, operands=None):
     """Steady-state run time (ms) + result for the driver report.
 
     A single timed call measures the ~30 ms dispatch tunnel rather than
     the kernel whenever the kernel is small (VERDICT r1 weak#5), so:
 
     * one call clearly above 10x dispatch overhead -> report it;
-    * else, when `run_coupled(eps, prev)` is provided (the run with `eps`
-      folded into its primary operand AND `prev` — the previous output —
-      as its accumulate operand) and the captured operands stay under the
-      compile-tunnel constant limit -> K device-side iterations inside
-      ONE dispatch (utils.benchtime);
+    * else, when `run_coupled(eps, prev, operands)` is provided (the run
+      with `eps` folded into its primary operand, `prev` — the previous
+      output — as its accumulate operand, and the plan taken from
+      `operands`) -> K device-side iterations inside ONE dispatch
+      (utils.benchtime).  `operands` (the plan/shards pytree) is threaded
+      through the loop as a jit ARGUMENT — closure capture would embed it
+      as HLO constants and overflow the compile tunnel (HTTP 413);
     * else amortize: R back-to-back async dispatches, one true sync —
       per-call host dispatch (~1 ms) stays in the number, which is honest
       for python-loop runs (UM streaming) that really pay it per call.
@@ -103,20 +99,20 @@ def steady_run_ms(run_once, run_coupled=None, operand_bytes: int = 0):
     overhead = dispatch_overhead_ms()
     if t1 >= 10 * overhead:
         return t1, out
-    if run_coupled is not None and operand_bytes <= _LOOP_CONST_LIMIT:
-        def step(o):
+    if run_coupled is not None:
+        def step(o, ops):
             import jax.numpy as jnp
             # tiny but NONZERO coupling: 0.0*carry constant-folds and XLA
             # hoists the whole loop body (measured: ash85 "ran" in 0 ms);
             # 1e-30*carry keeps a real data dependency, and the perturbed
             # loop values are discarded — only the timing matters
-            return run_coupled(jnp.reshape(o, (-1,))[0] * 1e-30, o)
+            return run_coupled(jnp.reshape(o, (-1,))[0] * 1e-30, o, ops)
 
         # escalate the device-side iteration count until the measured net
         # loop time clears the sync-noise floor (ash85-sized kernels run
         # in ~us; 32 iterations sit far below the ~30 ms round trip)
         for iters in (64, 8192, 524288):
-            ms = loop_time_ms(step, out, iters=iters)
+            ms = loop_time_ms(step, out, iters=iters, args=(operands,))
             if ms * iters >= overhead:
                 break
         return ms, out

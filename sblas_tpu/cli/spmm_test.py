@@ -63,7 +63,7 @@ def main(argv=None) -> int:
     print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, K={b_width}, "
           f"{n} device(s), method {method}")
 
-    from .common import steady_run_ms, tree_bytes
+    from .common import steady_run_ms
     Bd, Cd = jnp.asarray(B.values), jnp.asarray(C.values)
     run = {
         "1": lambda: spmm_mode1(plan, Bd, alpha, beta, Cd, mesh),
@@ -71,16 +71,16 @@ def main(argv=None) -> int:
         "2p": lambda: spmm_mode2_planned(shards, Bd, alpha, beta, Cd, mesh),
     }[method]
     run_c = {
-        "1": lambda e, o: spmm_mode1(plan, Bd + e, alpha, beta, o, mesh),
-        "2": lambda e, o: spmm_mode2(segs, Bd + e, alpha, beta, o, mesh),
-        "2p": lambda e, o: spmm_mode2_planned(shards, Bd + e, alpha, beta,
-                                              o, mesh),
+        "1": lambda e, o, pl: spmm_mode1(pl, Bd + e, alpha, beta, o, mesh),
+        "2": lambda e, o, sg: spmm_mode2(sg, Bd + e, alpha, beta, o, mesh),
+        "2p": lambda e, o, sh: spmm_mode2_planned(sh, Bd + e, alpha, beta,
+                                                  o, mesh),
     }[method]
     operands = {"1": lambda: plan, "2": lambda: segs,
                 "2p": lambda: shards}[method]()
     run()  # compile + first run (the reference times a cold run; we
     # report the steady-state run, plus GFLOPs the reference omits)
-    ms, got = steady_run_ms(run, run_c, tree_bytes(operands))
+    ms, got = steady_run_ms(run, run_c, operands)
     times[f"{n}-device run time"] = ms
     print(f"GFLOPS = {gflops(spmm_flops(A.nnz, b_width), ms):.3f}")
 
@@ -92,12 +92,12 @@ def main(argv=None) -> int:
         from ..parallel import spmm_mode2_nocomm, spmm_mode2_planned_nocomm
         nc = (lambda: spmm_mode2_nocomm(segs, Bd, mesh)) if method == "2" \
             else (lambda: spmm_mode2_planned_nocomm(shards, Bd, mesh))
-        nc_c = (lambda e, o: spmm_mode2_nocomm(segs, Bd + e, mesh)) \
+        nc_c = (lambda e, o, sg: spmm_mode2_nocomm(sg, Bd + e, mesh)) \
             if method == "2" \
-            else (lambda e, o: spmm_mode2_planned_nocomm(shards, Bd + e,
-                                                         mesh))
+            else (lambda e, o, sh: spmm_mode2_planned_nocomm(sh, Bd + e,
+                                                             mesh))
         nc()  # compile
-        ms_nc, _ = steady_run_ms(nc, nc_c, tree_bytes(operands))
+        ms_nc, _ = steady_run_ms(nc, nc_c, operands)
         times["Comm time (exposed psum)"] = max(ms - ms_nc, 0.0)
         times["Compute time (per-shard)"] = ms_nc
 

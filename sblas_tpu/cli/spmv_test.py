@@ -76,7 +76,7 @@ def main(argv=None) -> int:
     print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, {n} device(s), "
           f"mode {mode}")
 
-    from .common import steady_run_ms, tree_bytes
+    from .common import steady_run_ms
     xd, yd = jnp.asarray(x.values), jnp.asarray(y.values)
     run = {
         "dist": lambda: spmv_dist(segs, xd, alpha, beta, yd, mesh),
@@ -88,20 +88,21 @@ def main(argv=None) -> int:
         "single": lambda: spmv(plan, xd, alpha, beta, yd),
     }[mode]
     run_c = {
-        "dist": lambda e, o: spmv_dist(segs, xd + e, alpha, beta, o, mesh),
-        "distp": lambda e, o: spmv_dist_planned(shards, xd + e, alpha,
-                                                beta, o, mesh),
-        "halo": lambda e, o: spmv_halo(blocks, xd + e, alpha, beta, o,
-                                       mesh),
-        "halop": lambda e, o: spmv_halo_planned(hshards, xd + e, alpha,
-                                                beta, o, mesh),
-        "single": lambda e, o: spmv(plan, xd + e, alpha, beta, o),
+        "dist": lambda e, o, sg: spmv_dist(sg, xd + e, alpha, beta, o,
+                                           mesh),
+        "distp": lambda e, o, sh: spmv_dist_planned(sh, xd + e, alpha,
+                                                    beta, o, mesh),
+        "halo": lambda e, o, bl: spmv_halo(bl, xd + e, alpha, beta, o,
+                                           mesh),
+        "halop": lambda e, o, hs: spmv_halo_planned(hs, xd + e, alpha,
+                                                    beta, o, mesh),
+        "single": lambda e, o, pl: spmv(pl, xd + e, alpha, beta, o),
     }[mode]
     operands = {"dist": lambda: segs, "distp": lambda: shards,
                 "halo": lambda: blocks, "halop": lambda: hshards,
                 "single": lambda: plan}[mode]()
     run()  # compile
-    ms, got = steady_run_ms(run, run_c, tree_bytes(operands))
+    ms, got = steady_run_ms(run, run_c, operands)
     times[f"{n}-device run time"] = ms
     print(f"nnz/s = {nnz_per_s(A.nnz, ms):.3e}")
 
@@ -111,12 +112,12 @@ def main(argv=None) -> int:
         from ..parallel import spmv_dist_nocomm, spmv_dist_planned_nocomm
         nc = (lambda: spmv_dist_nocomm(segs, xd, mesh)) if mode == "dist" \
             else (lambda: spmv_dist_planned_nocomm(shards, xd, mesh))
-        nc_c = (lambda e, o: spmv_dist_nocomm(segs, xd + e, mesh)) \
+        nc_c = (lambda e, o, sg: spmv_dist_nocomm(sg, xd + e, mesh)) \
             if mode == "dist" \
-            else (lambda e, o: spmv_dist_planned_nocomm(shards, xd + e,
-                                                        mesh))
+            else (lambda e, o, sh: spmv_dist_planned_nocomm(sh, xd + e,
+                                                            mesh))
         nc()  # compile
-        ms_nc, _ = steady_run_ms(nc, nc_c, tree_bytes(operands))
+        ms_nc, _ = steady_run_ms(nc, nc_c, operands)
         times["Comm time (exposed psum)"] = max(ms - ms_nc, 0.0)
         times["Compute time (per-shard)"] = ms_nc
 
