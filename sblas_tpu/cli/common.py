@@ -51,14 +51,6 @@ def positional(argv, names, casts, usage: str):
     return [cast(a) for a, cast in zip(argv, casts)]
 
 
-def tree_bytes(x) -> int:
-    """Total array bytes in a pytree (plan-size probe for timing)."""
-    import jax
-
-    return sum(getattr(leaf, "nbytes", 0)
-               for leaf in jax.tree_util.tree_leaves(x))
-
-
 def steady_run_ms(run_once, run_coupled=None, operands=None):
     """Steady-state run time (ms) + result for the driver report.
 

@@ -60,7 +60,8 @@ def main(argv=None) -> int:
             segs = partition_nnz_balanced(A, n, dtype=jnp_dtype)
             print(partition_report(segs))
         elif mode == "distp":
-            shards = partition_row_plans(A, n, dtype=jnp_dtype)
+            shards = partition_row_plans(A, n, dtype=jnp_dtype,
+                                         op="spmv")
             print(f"per-shard plans: kind={shards.kind}, "
                   f"band_rows={shards.band_rows}")
         elif mode == "halo":

@@ -160,12 +160,9 @@ def fem_shell_like(nx: int = 201, ny: int = 75, dof: int = 6,
     rows = np.concatenate(rows_l)
     cols = np.concatenate(cols_l)
     vals = np.concatenate(vals_l).astype(dtype)
-    n_full = nodes * dof
     keep = (rows < n_target) & (cols < n_target)
-    csr = _dedupe(n_target, n_target, rows[keep], cols[keep], rng,
-                  vals[keep])
-    del n_full
-    return csr
+    return _dedupe(n_target, n_target, rows[keep], cols[keep], rng,
+                   vals[keep])
 
 
 def uniform_random(m: int, n: int, nnz_per_row: int, seed: int = 211,

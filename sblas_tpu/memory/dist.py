@@ -42,8 +42,9 @@ from ..ops.spmm import _match_vma
 from ..parallel.mesh import DEFAULT_AXIS
 from ..parallel.planned import _row_boundaries
 from ..utils.errors import PartitionError, ShapeError, require
-from .host import (_INFLIGHT, _band_matmul, _band_matvec, _choose_band_kind,
-                   _host_sharding, build_band_plan, probe_band_dims)
+from .host import (_INFLIGHT, _UNROLL_MAX_BANDS, _band_matmul,
+                   _band_matvec, _choose_band_kind, _host_sharding,
+                   build_band_plan, probe_band_dims)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -183,17 +184,31 @@ def _um_dist_spmv_program(mesh: Mesh, axis: str, kind: str, m: int,
 
     def fn(stacked, offs, x, y, alpha, beta):
         # per-device leaves: (n_bands, 1, ...); offs (n_bands, 1, 1).
-        # UNROLLED over bands: gathers inside lax.scan lower ~6x slower
-        # than flat (see CLAUDE.md)
+        # UNROLLED over bands up to the cap: gathers inside lax.scan lower
+        # ~6x slower than flat, but the unrolled program is linear in band
+        # count and very large programs fail the compile tunnel (413) —
+        # above the cap the scan keeps program size O(1)
         n_bands = jax.tree_util.tree_leaves(stacked)[0].shape[0]
         partial = _match_vma(jnp.zeros(m_full, x.dtype),
                              *jax.tree_util.tree_leaves(stacked))
-        for b in range(n_bands):
-            plan = jax.tree_util.tree_map(lambda a: a[b, 0], stacked)
-            local = _band_matvec(kind, plan, x).astype(partial.dtype)
-            off = offs[b, 0, 0]
-            win = lax.dynamic_slice(partial, (off,), (band_rows,))
-            partial = lax.dynamic_update_slice(partial, win + local, (off,))
+        if n_bands > _UNROLL_MAX_BANDS:
+            def step(part, band):
+                plans, off = band
+                plan = jax.tree_util.tree_map(lambda a: a[0], plans)
+                local = _band_matvec(kind, plan, x).astype(part.dtype)
+                win = lax.dynamic_slice(part, (off,), (band_rows,))
+                return lax.dynamic_update_slice(part, win + local,
+                                                (off,)), None
+
+            partial, _ = lax.scan(step, partial, (stacked, offs[:, 0, 0]))
+        else:
+            for b in range(n_bands):
+                plan = jax.tree_util.tree_map(lambda a: a[b, 0], stacked)
+                local = _band_matvec(kind, plan, x).astype(partial.dtype)
+                off = offs[b, 0, 0]
+                win = lax.dynamic_slice(partial, (off,), (band_rows,))
+                partial = lax.dynamic_update_slice(partial, win + local,
+                                                   (off,))
         return beta * y + alpha * lax.psum(partial, axis)[:m]
 
     return jax.jit(jax.shard_map(
@@ -209,19 +224,33 @@ def _um_dist_spmm_program(mesh: Mesh, axis: str, kind: str, m: int,
     m_full = _round_up(m + band_rows, nd * 128)
 
     def fn(stacked, offs, B, C, alpha, beta):
-        # unrolled over bands — see the SpMV program
+        # unrolled over bands with the same scan fallback — see the SpMV
+        # program
         n_bands = jax.tree_util.tree_leaves(stacked)[0].shape[0]
         partial = _match_vma(jnp.zeros((m_full, B.shape[1]), B.dtype),
                              *jax.tree_util.tree_leaves(stacked))
-        for b in range(n_bands):
-            plan = jax.tree_util.tree_map(lambda a: a[b, 0], stacked)
-            local = _band_matmul(kind, plan, B).astype(partial.dtype)
-            off = offs[b, 0, 0]
-            z = jnp.zeros((), off.dtype)
-            win = lax.dynamic_slice(partial, (off, z),
-                                    (band_rows, partial.shape[1]))
-            partial = lax.dynamic_update_slice(partial, win + local,
-                                               (off, z))
+        if n_bands > _UNROLL_MAX_BANDS:
+            def step(part, band):
+                plans, off = band
+                plan = jax.tree_util.tree_map(lambda a: a[0], plans)
+                local = _band_matmul(kind, plan, B).astype(part.dtype)
+                z = jnp.zeros((), off.dtype)
+                win = lax.dynamic_slice(part, (off, z),
+                                        (band_rows, part.shape[1]))
+                return lax.dynamic_update_slice(part, win + local,
+                                                (off, z)), None
+
+            partial, _ = lax.scan(step, partial, (stacked, offs[:, 0, 0]))
+        else:
+            for b in range(n_bands):
+                plan = jax.tree_util.tree_map(lambda a: a[b, 0], stacked)
+                local = _band_matmul(kind, plan, B).astype(partial.dtype)
+                off = offs[b, 0, 0]
+                z = jnp.zeros((), off.dtype)
+                win = lax.dynamic_slice(partial, (off, z),
+                                        (band_rows, partial.shape[1]))
+                partial = lax.dynamic_update_slice(partial, win + local,
+                                                   (off, z))
         return beta * C + alpha * lax.psum(partial, axis)[:m]
 
     return jax.jit(jax.shard_map(

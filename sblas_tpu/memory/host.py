@@ -225,8 +225,8 @@ def probe_band_dims(band_csrs, kind: str, total_nnz: int,
         return kind, max(max(int(sub.row_nnz.max()) if sub.nnz else 1
                              for sub in band_csrs), 1)
     if kind == "wcoo":
-        from ..ops.wcoo import wcoo_arrays
-        tiles = [wcoo_arrays(sub)["n_tiles"] for sub in band_csrs]
+        from ..ops.wcoo import wcoo_tile_count
+        tiles = [wcoo_tile_count(sub) for sub in band_csrs]
         if sum(tiles) * 128 <= _WCOO_BAND_FILL_LIMIT * max(total_nnz, 1):
             return kind, max(tiles)
         kind = "coo"  # pathological tile-splitting: fall back
@@ -338,12 +338,26 @@ def _stacked_bands(hplan: HostResidentPlan):
     return hplan._stacked
 
 
+# Band-loop unroll cap: the unrolled program is linear in band count and
+# very large programs fail the remote-compile tunnel (HTTP 413, see
+# CLAUDE.md).  Above the cap we fall back to lax.scan — its gathers lower
+# ~6x slower, but the program size stays O(1).
+_UNROLL_MAX_BANDS = 24
+
+
 @partial(jax.jit, static_argnames=("kind", "m"))
 def _spmm_tuned(kind, stacked, B, alpha, beta, C, m):
     # UNROLLED over bands (n_bands is static): a lax.scan here would put
     # the band kernels' gathers inside a loop, which lowers ~6x slower
     # than the same gathers flat (measured v5e, see CLAUDE.md)
     n_bands = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    if n_bands > _UNROLL_MAX_BANDS:
+        def step(_, band):
+            return None, _band_matmul(kind, band, B)
+
+        _, parts = jax.lax.scan(step, None, stacked)
+        ab = parts.reshape(-1, B.shape[1])[:m]
+        return beta * C + alpha * ab
     parts = [_band_matmul(kind,
                           jax.tree_util.tree_map(lambda a: a[i], stacked),
                           B)
@@ -354,8 +368,14 @@ def _spmm_tuned(kind, stacked, B, alpha, beta, C, m):
 
 @partial(jax.jit, static_argnames=("kind", "m"))
 def _spmv_tuned(kind, stacked, x, alpha, beta, y, m):
-    # unrolled over bands — see _spmm_tuned
+    # unrolled over bands with the same scan fallback — see _spmm_tuned
     n_bands = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    if n_bands > _UNROLL_MAX_BANDS:
+        def step(_, band):
+            return None, _band_matvec(kind, band, x)
+
+        _, parts = jax.lax.scan(step, None, stacked)
+        return beta * y + alpha * parts.reshape(-1)[:m]
     parts = [_band_matvec(kind,
                           jax.tree_util.tree_map(lambda a: a[i], stacked),
                           x)

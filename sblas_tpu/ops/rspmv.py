@@ -146,16 +146,20 @@ def _peel_layout(pcols: np.ndarray, pvals_in: np.ndarray):
     fewer addressed elements than slot-granular gather) and broadcasts.
     Returns (pslot (k,) i64 within-peel slots ordered like pcols sorted,
     order (k,), prow_col (R_p,) i32, pvals (R_p*128,) values, R_p)."""
-    order = np.argsort(pcols, kind="stable")
+    # int32 throughout (CLAUDE.md: this host pays ~14x for 64-bit random
+    # access); pslot < R_p*128 < 2^31 by the caller's PlanError guard
+    order = np.argsort(pcols, kind="stable").astype(np.int32)
     pc_s = pcols[order]
     k = len(pc_s)
-    j_in_col = (np.arange(k, dtype=np.int64)
-                - np.searchsorted(pc_s, pc_s, side="left"))
+    j_in_col = (np.arange(k, dtype=np.int32)
+                - np.searchsorted(pc_s, pc_s, side="left").astype(np.int32))
     uniq, first = np.unique(pc_s, return_index=True)
     cnt_p = np.diff(np.append(first, k))
-    rows_per_col = -(-cnt_p // LANES)
-    row_base = np.concatenate([[0], np.cumsum(rows_per_col)])
-    col_group = np.repeat(np.arange(len(uniq), dtype=np.int64), cnt_p)
+    rows_per_col = (-(-cnt_p // LANES)).astype(np.int32)
+    row_base = np.concatenate(
+        [[0], np.cumsum(rows_per_col)]).astype(np.int32)
+    col_group = np.repeat(np.arange(len(uniq), dtype=np.int32),
+                          cnt_p)
     prow = row_base[col_group] + j_in_col // LANES
     pslot = prow * LANES + j_in_col % LANES
     R_p = int(row_base[-1])

@@ -102,6 +102,24 @@ class WcooPlan:
             n_row_blocks=arr["n_row_blocks"])
 
 
+def wcoo_tile_count(A: CsrMatrix) -> int:
+    """Natural tile count of the windowed-COO layout — just the greedy
+    tiling loop, no array construction (the cheap probe the band layers
+    use for shared static dims; a full wcoo_arrays pass here would double
+    plan-build cost)."""
+    rows = np.repeat(np.arange(A.shape[0], dtype=np.int64), A.row_nnz)
+    nnz = A.nnz
+    if not nnz:
+        return 1
+    anchors = (rows // 128 + WINDOW // 128) * 128
+    limit = np.searchsorted(rows, anchors, side="left")
+    count, i = 0, 0
+    while i < nnz:
+        count += 1
+        i = min(i + TILE, int(limit[i]))
+    return count
+
+
 def wcoo_arrays(A: CsrMatrix, min_tiles: int = 0) -> dict:
     """Windowed-COO layout as host numpy arrays (kept numpy-pure so
     callers control placement — device HBM for single-chip plans, pinned

@@ -9,6 +9,7 @@ from .mesh import (DEFAULT_AXIS, init_distributed, make_mesh, pad_to_shards,
 from .modes import (spmm_mode1, spmm_mode2, spmm_mode2_nocomm,  # noqa: F401
                     spmv_dist, spmv_dist_nocomm, spmv_halo)
 from .planned import (HaloDiaShards, RowPlanShards, partition_halo_dia,  # noqa: F401
-                      partition_row_plans, spmm_mode2_planned,
-                      spmm_mode2_planned_nocomm, spmv_dist_planned,
-                      spmv_dist_planned_nocomm, spmv_halo_planned)
+                      partition_row_plans, spmm_halo_planned,
+                      spmm_mode2_planned, spmm_mode2_planned_nocomm,
+                      spmv_dist_planned, spmv_dist_planned_nocomm,
+                      spmv_halo_planned)

@@ -449,3 +449,45 @@ def spmv_halo_planned(shards: HaloDiaShards, x, alpha, beta, y, mesh: Mesh,
     out = _halo_dia_program(mesh, axis)(shards, padv(x), padv(y),
                                         alpha, beta)
     return out[:m]
+
+
+@functools.lru_cache(maxsize=None)
+def _halo_dia_spmm_program(mesh: Mesh, axis: str):
+    n = mesh.shape[axis]
+
+    def fn(shards, B_blk, C_blk, alpha, beta):
+        plan = _unstack(shards.plan)
+        from_left = lax.ppermute(B_blk, axis,
+                                 perm=[(i, (i + 1) % n) for i in range(n)])
+        from_right = lax.ppermute(B_blk, axis,
+                                  perm=[(i, (i - 1) % n) for i in range(n)])
+        B_ext = jnp.concatenate([from_left, B_blk, from_right], axis=0)
+        z = jnp.zeros((plan.shape[0], B_blk.shape[1]), plan.vals.dtype)
+        return beta * C_blk + alpha * spmm_dia(plan, B_ext, 1.0, 0.0, z)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis), P(axis, None), P(axis, None), P(), P()),
+        out_specs=P(axis, None)))
+
+
+def spmm_halo_planned(shards: HaloDiaShards, B, alpha, beta, C, mesh: Mesh,
+                      axis: str = DEFAULT_AXIS) -> jax.Array:
+    """Halo-exchange SpMM: B and C row-block-sharded like A's rows; each
+    shard pulls only its neighbors' B row blocks over the ICI ring — the
+    banded SpMM scaling mode (constant comm in n, vs mode 2's full-C
+    all-reduce).  Requires square A (B rows follow A's row partition)."""
+    n = mesh.shape[axis]
+    require(shards.n_shards == n, PartitionError,
+            f"shards built for {shards.n_shards}, mesh has {n}")
+    require(shards.shape[0] == shards.shape[1], PartitionError,
+            "halo SpMM needs square A (B rows follow A's row partition)")
+    m = shards.shape[0]
+    m_pad = shards.rows_per_shard * n
+
+    def padm(M):
+        return jnp.pad(M, ((0, m_pad - m), (0, 0)))
+
+    out = _halo_dia_spmm_program(mesh, axis)(shards, padm(B), padm(C),
+                                             alpha, beta)
+    return out[:m]

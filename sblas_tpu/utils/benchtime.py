@@ -37,8 +37,16 @@ def _looped(carry, step, iters: int, *args):
     return lax.fori_loop(0, iters, lambda i, c: step(c, *args), carry)
 
 
+_OVERHEAD_MS = None
+
+
 def dispatch_overhead_ms(n: int = 10) -> float:
-    """Median cost of one null dispatch+sync round trip."""
+    """Median cost of one null dispatch+sync round trip (measured once per
+    process — it is a property of the attachment, ~30 ms here, and the 10
+    synchronized round trips cost ~0.3 s each time)."""
+    global _OVERHEAD_MS
+    if _OVERHEAD_MS is not None:
+        return _OVERHEAD_MS
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.zeros((8, 128), jnp.float32)
     _sync(f(x))
@@ -47,7 +55,8 @@ def dispatch_overhead_ms(n: int = 10) -> float:
         t0 = time.perf_counter()
         _sync(f(x))
         ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(ts))
+    _OVERHEAD_MS = float(np.median(ts))
+    return _OVERHEAD_MS
 
 
 def loop_time_ms(step, init_carry, iters: int = 32, reps: int = 5,

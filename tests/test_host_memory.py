@@ -150,3 +150,20 @@ def test_um_forced_coo_kind(weblike):
     got = spmv_um(hp, jnp.asarray(x.values), 1.0, 2.0, jnp.asarray(y.values),
                   tuning=True)
     assert_equal(np.asarray(got), spmv_cpu(weblike, x, 1.0, 2.0, y))
+
+
+@pytest.mark.parametrize("tuning", [False, True])
+def test_many_bands_scan_fallback(tuning):
+    """Above _UNROLL_MAX_BANDS the tuned program falls back to lax.scan
+    (unrolled programs are linear in band count and 413 the compile
+    tunnel); results must match either way."""
+    from sblas_tpu.memory.host import _UNROLL_MAX_BANDS
+    A = fem_banded_like(n=3600, half_band=5)
+    hp = host_resident_plan(A, dtype=jnp.float64,
+                            hbm_budget_bytes=40 << 10)
+    assert hp.n_bands > _UNROLL_MAX_BANDS
+    x = DenseVector.random(A.width)
+    y = DenseVector.constant(A.height, 1.0)
+    got = spmv_um(hp, jnp.asarray(x.values), 2.0, 3.0,
+                  jnp.asarray(y.values), tuning=tuning)
+    assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))

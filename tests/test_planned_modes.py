@@ -171,3 +171,17 @@ def test_spmv_dist_planned_wcoo(mesh):
         shards, jnp.asarray(x.values), 2.0, 3.0, jnp.asarray(y.values),
         mesh))
     assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))
+
+
+@pytest.mark.parametrize("alpha,beta", [(1.0, 1.0), (3.0, 4.0)])
+def test_spmm_halo_planned(mesh, banded, alpha, beta):
+    """Halo-exchange SpMM: neighbor B row blocks over the ring — backs the
+    scaling report's spmm halo projection with a real mode."""
+    from sblas_tpu.parallel import spmm_halo_planned
+    shards = partition_halo_dia(banded, N_DEV, dtype=jnp.float64)
+    B = DenseMatrix.random(banded.width, 7)
+    C = DenseMatrix.constant(banded.height, 7, 1.0)
+    got = sync_to_host(spmm_halo_planned(
+        shards, jnp.asarray(B.values), alpha, beta, jnp.asarray(C.values),
+        mesh))
+    assert_equal(np.asarray(got), spmm_cpu(banded, B, alpha, beta, C))
