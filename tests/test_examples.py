@@ -27,3 +27,15 @@ def test_cg_distributed():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Validation = True" in r.stdout
+
+
+def test_pagerank():
+    env = dict(os.environ)
+    env["SBLAS_FORCE_CPU_DEVICES"] = "1"
+    r = subprocess.run(
+        [sys.executable, "examples/pagerank.py", "--n", "20000",
+         "--tol", "1e-7"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Validation = True" in r.stdout
