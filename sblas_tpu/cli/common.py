@@ -51,8 +51,10 @@ def positional(argv, names, casts, usage: str):
     return [cast(a) for a, cast in zip(argv, casts)]
 
 
-def steady_run_ms(run_once, run_coupled=None, operands=None):
-    """Steady-state run time (ms) + result for the driver report.
+def steady_run_ms(run_once, run_coupled=None, operands=None,
+                  estimator: str = "auto"):
+    """Steady-state run time (ms), result, and the estimator used
+    (`"wall" | "loop" | "amortized"`) for the driver report.
 
     A single timed call measures the ~30 ms dispatch tunnel rather than
     the kernel whenever the kernel is small (VERDICT r1 weak#5), so:
@@ -73,6 +75,13 @@ def steady_run_ms(run_once, run_coupled=None, operands=None):
     FIXED accumulate operand compiles a ~2x-slower loop (3.36 ms vs the
     f^k ground truth 1.59 ms), while 0.0-eps couplings fold away and let
     XLA hoist the body; eps + prev-as-accumulate matches f^k within 10%.
+
+    `estimator` pins the path ("wall"/"loop"/"amortized") so paired
+    measurements (a full run and its nocomm twin for the comm/compute
+    split) use the SAME estimator — mixing a wall-clock number (includes
+    the ~30 ms dispatch) with a loop-derived one (excludes it) would let
+    the difference absorb the estimator gap instead of the collective
+    cost (ADVICE r2 #1).
     """
     import time as _time
 
@@ -89,9 +98,9 @@ def steady_run_ms(run_once, run_coupled=None, operands=None):
     device_sync(out)
     t1 = (_time.perf_counter() - t0) * 1e3
     overhead = dispatch_overhead_ms()
-    if t1 >= 10 * overhead:
-        return t1, out
-    if run_coupled is not None:
+    if estimator == "wall" or (estimator == "auto" and t1 >= 10 * overhead):
+        return t1, out, "wall"
+    if run_coupled is not None and estimator in ("auto", "loop"):
         def step(o, ops):
             import jax.numpy as jnp
             # tiny but NONZERO coupling: 0.0*carry constant-folds and XLA
@@ -107,11 +116,11 @@ def steady_run_ms(run_once, run_coupled=None, operands=None):
             ms = loop_time_ms(step, out, iters=iters, args=(operands,))
             if ms * iters >= overhead:
                 break
-        return ms, out
+        return ms, out, "loop"
     reps = 16
     t0 = _time.perf_counter()
     for _ in range(reps):
         out = run_once()
     device_sync(out)
     elapsed = (_time.perf_counter() - t0) * 1e3
-    return max((elapsed - overhead) / reps, 1e-6), out
+    return max((elapsed - overhead) / reps, 1e-6), out, "amortized"

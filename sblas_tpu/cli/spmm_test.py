@@ -80,7 +80,7 @@ def main(argv=None) -> int:
                 "2p": lambda: shards}[method]()
     run()  # compile + first run (the reference times a cold run; we
     # report the steady-state run, plus GFLOPs the reference omits)
-    ms, got = steady_run_ms(run, run_c, operands)
+    ms, got, est = steady_run_ms(run, run_c, operands)
     times[f"{n}-device run time"] = ms
     print(f"GFLOPS = {gflops(spmm_flops(A.nnz, b_width), ms):.3f}")
 
@@ -97,7 +97,8 @@ def main(argv=None) -> int:
             else (lambda e, o, sh: spmm_mode2_planned_nocomm(sh, Bd + e,
                                                              mesh))
         nc()  # compile
-        ms_nc, _ = steady_run_ms(nc, nc_c, operands)
+        # same estimator as the full run (see spmv_test; ADVICE r2 #1)
+        ms_nc, _, _ = steady_run_ms(nc, nc_c, operands, estimator=est)
         times["Comm time (exposed psum)"] = max(ms - ms_nc, 0.0)
         times["Compute time (per-shard)"] = ms_nc
 

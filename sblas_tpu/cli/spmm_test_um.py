@@ -95,7 +95,7 @@ def main(argv=None) -> int:
     run(Bd, Cd)  # compile+warm
     # streaming is a host band loop (per-dispatch cost is real):
     # async-batch estimator, no device-side timing loop
-    ms, got = steady_run_ms(lambda: run(Bd, Cd))
+    ms, got, _ = steady_run_ms(lambda: run(Bd, Cd))
     times["Run time"] = ms
     print(f"GFLOPS = {gflops(spmm_flops(A.nnz, b_width), ms):.3f}")
 

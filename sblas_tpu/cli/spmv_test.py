@@ -103,7 +103,7 @@ def main(argv=None) -> int:
                 "halo": lambda: blocks, "halop": lambda: hshards,
                 "single": lambda: plan}[mode]()
     run()  # compile
-    ms, got = steady_run_ms(run, run_c, operands)
+    ms, got, est = steady_run_ms(run, run_c, operands)
     times[f"{n}-device run time"] = ms
     print(f"nnz/s = {nnz_per_s(A.nnz, ms):.3e}")
 
@@ -118,7 +118,10 @@ def main(argv=None) -> int:
             else (lambda e, o, sh: spmv_dist_planned_nocomm(sh, xd + e,
                                                             mesh))
         nc()  # compile
-        ms_nc, _ = steady_run_ms(nc, nc_c, operands)
+        # same estimator as the full run: a wall number (includes the
+        # dispatch round trip) minus a loop number (excludes it) would
+        # absorb the estimator gap into "comm time" (ADVICE r2 #1)
+        ms_nc, _, _ = steady_run_ms(nc, nc_c, operands, estimator=est)
         times["Comm time (exposed psum)"] = max(ms - ms_nc, 0.0)
         times["Compute time (per-shard)"] = ms_nc
 

@@ -76,7 +76,7 @@ def main(argv=None) -> int:
     run(xd, yd)  # compile+warm
     # no device-side loop here: the streaming path is a host band loop and
     # really pays per-dispatch cost — the async-batch estimator keeps it
-    ms, got = steady_run_ms(lambda: run(xd, yd))
+    ms, got, _ = steady_run_ms(lambda: run(xd, yd))
     times["Run time"] = ms
     print(f"nnz/s = {nnz_per_s(A.nnz, ms):.3e}")
 

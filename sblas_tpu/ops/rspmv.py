@@ -147,7 +147,10 @@ def _peel_layout(pcols: np.ndarray, pvals_in: np.ndarray):
     Returns (pslot (k,) i64 within-peel slots ordered like pcols sorted,
     order (k,), prow_col (R_p,) i32, pvals (R_p*128,) values, R_p)."""
     # int32 throughout (CLAUDE.md: this host pays ~14x for 64-bit random
-    # access); pslot < R_p*128 < 2^31 by the caller's PlanError guard
+    # access); R_p is bounded BEFORE any int32 slot math so a near-2^31
+    # nnz peel raises the typed error instead of silently wrapping
+    # (ADVICE r2 #2)
+    from ..utils.errors import PlanError, require
     order = np.argsort(pcols, kind="stable").astype(np.int32)
     pc_s = pcols[order]
     k = len(pc_s)
@@ -155,9 +158,13 @@ def _peel_layout(pcols: np.ndarray, pvals_in: np.ndarray):
                 - np.searchsorted(pc_s, pc_s, side="left").astype(np.int32))
     uniq, first = np.unique(pc_s, return_index=True)
     cnt_p = np.diff(np.append(first, k))
-    rows_per_col = (-(-cnt_p // LANES)).astype(np.int32)
-    row_base = np.concatenate(
-        [[0], np.cumsum(rows_per_col)]).astype(np.int32)
+    rows_per_col = (-(-cnt_p // LANES)).astype(np.int64)
+    row_base64 = np.concatenate([[0], np.cumsum(rows_per_col)])
+    require(int(row_base64[-1]) * LANES < 2**31, PlanError,
+            f"peeled hub rows overflow int32 slots "
+            f"(R_p={int(row_base64[-1])}); the matrix is too large/ragged "
+            f"for a single routed plan")
+    row_base = row_base64.astype(np.int32)
     col_group = np.repeat(np.arange(len(uniq), dtype=np.int32),
                           cnt_p)
     prow = row_base[col_group] + j_in_col // LANES
