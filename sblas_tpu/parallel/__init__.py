@@ -13,3 +13,5 @@ from .planned import (HaloDiaShards, RowPlanShards, partition_halo_dia,  # noqa:
                       spmm_mode2_planned, spmm_mode2_planned_nocomm,
                       spmv_dist_planned, spmv_dist_planned_nocomm,
                       spmv_halo_planned)
+from .xfoot import (XFootShards, XFootStats, partition_xfoot,  # noqa: F401
+                    spmv_xfoot, xfoot_stats)

@@ -102,41 +102,54 @@ def _unstack(plan):
     return jax.tree_util.tree_map(lambda a: a[0], plan)
 
 
-def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
-                        kind: str = None, op: str = None,
-                        config: SBlasConfig = DEFAULT) -> RowPlanShards:
-    """nnz-balanced row-granular shards, each laid out as a fast plan.
+def pick_shard_kind(A: CsrMatrix, op: str = None,
+                    config: SBlasConfig = DEFAULT) -> str:
+    """Plan-kind heuristic shared by the shard partitioners: BELL when the
+    global structure is block-friendly, ELL when row occupancy is balanced
+    (same `EllPlan.is_profitable` blowup guard as `make_plan`), routed for
+    large unstructured matrices when `op="spmv"` (RoutedPlan is
+    SpMV-only), windowed-COO otherwise."""
+    from ..ops.rspmv import RoutedPlan
+    if (bell_stats(A, config.bsr_block)["blowup"]
+            <= config.bsr_blowup_limit):
+        return "bsr"
+    if EllPlan.is_profitable(A, config):
+        return "ell"
+    if op == "spmv" and RoutedPlan.is_profitable(A, config):
+        return "routed"
+    return "wcoo"
 
-    `kind` in {"bsr", "ell", "dia", "routed", "wcoo", "coo", None}; None
-    picks BELL when the global structure is block-friendly, ELL when row
-    occupancy is balanced (same `EllPlan.is_profitable` blowup guard as
-    `make_plan` — a power-law shard must NOT allocate band_rows x
-    max_row_nnz slots), routed for large unstructured matrices when
-    `op="spmv"` (RoutedPlan is SpMV-only), windowed-COO otherwise (with
-    the automatic COO-segment fallback when tile-splitting blows up)."""
-    require(n_shards >= 1, PartitionError, f"bad n_shards {n_shards}")
-    bounds = _row_boundaries(A, n_shards)
-    band_rows = _round_up(int(np.max(bounds[1:] - bounds[:-1])) or 1, 128)
 
-    if kind is None:
-        from ..ops.rspmv import RoutedPlan
-        if (bell_stats(A, config.bsr_block)["blowup"]
-                <= config.bsr_blowup_limit):
-            kind = "bsr"
-        elif EllPlan.is_profitable(A, config):
-            kind = "ell"
-        elif op == "spmv" and RoutedPlan.is_profitable(A, config):
-            kind = "routed"
-        else:
-            kind = "wcoo"
+def build_stacked_plans(locals_, kind: str, band_rows: int, width: int,
+                        nnz: int, dtype, config: SBlasConfig):
+    """Per-shard fast plans over identically-shaped (band_rows, width)
+    local CSR matrices, padded to one COMMON set of static dims and
+    `tree_map`-stacked along a leading shard axis so a single `shard_map`
+    program serves every shard.  Returns (stacked_plan, kind) — `kind`
+    may degrade (wcoo -> coo) when tile-splitting blows up.
+
+    Shared by `partition_row_plans` (mode-2 row shards) and
+    `partition_xfoot` (footprint-compressed x-exchange shards)."""
     if kind == "routed":
-        return _partition_routed(A, n_shards, bounds, band_rows,
-                                 dtype=dtype, config=config)
-    locals_ = [_local_csr(A, int(bounds[s]), int(bounds[s + 1]), band_rows)
-               for s in range(n_shards)]
-
+        # shared static sizes make every static field — and hence the
+        # route-layer schedules — equal, so the plans tree-stack
+        from ..ops.rspmv import RoutedPlan, routed_shard_sizes
+        sizes = [routed_shard_sizes(sub, config) for sub in locals_]
+        tg = max(t for t, _, _ in sizes)
+        sr = max(s for _, s, _ in sizes)
+        pr = max(p for _, _, p in sizes)
+        plans = [dataclasses.replace(
+            RoutedPlan.from_csr(sub, dtype=dtype, config=config,
+                                min_gtiles=tg, min_srows=sr, min_prows=pr),
+            nnz=nnz)
+            for sub in locals_]
+        require(len({p.schedule for p in plans}) == 1
+                and len({p.unrank_schedule for p in plans}) == 1
+                and len({p.xroute_schedule for p in plans}) == 1,
+                PartitionError, "routed shard schedules diverged despite "
+                "shared static sizes (planner bug)")
+        return _stack_plans(plans), kind
     if kind == "bsr":
-        R, C = config.bsr_block
         raw = [bell_arrays(sub, config.bsr_block) for sub in locals_]
         L = max(v.shape[1] for v, _ in raw)
         plans = []
@@ -146,7 +159,7 @@ def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
             bcol = np.pad(bcol, ((0, 0), (0, L - bcol.shape[1])))
             plans.append(BsrPlan(jnp.asarray(vals, dtype),
                                  jnp.asarray(bcol, jnp.int32),
-                                 (band_rows, A.shape[1]), A.nnz,
+                                 (band_rows, width), nnz,
                                  config.bsr_block))
     elif kind == "ell":
         raw = [ell_arrays(sub) for sub in locals_]
@@ -157,66 +170,52 @@ def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
             vals = np.pad(vals, ((0, 0), (0, L - vals.shape[1])))
             plans.append(EllPlan(jnp.asarray(cols, jnp.int32),
                                  jnp.asarray(vals, dtype),
-                                 (band_rows, A.shape[1]), A.nnz))
+                                 (band_rows, width), nnz))
     elif kind == "dia":
         offs = _union_offsets(locals_)
         plans = []
         for sub in locals_:
             vals, offs_t = dia_arrays(sub, offsets=offs, n_rows=band_rows)
             plans.append(DiaPlan(jnp.asarray(vals, dtype), offs_t,
-                                 (band_rows, A.shape[1]), A.nnz))
+                                 (band_rows, width), nnz))
     elif kind in ("wcoo", "coo"):
         # per-shard windowed-COO (the unstructured workhorse), or plain
         # COO segments — built by the same machinery as the UM band layer
         # (shared static dims; wcoo falls back to coo automatically when
         # tile-splitting blows up)
         from ..memory.host import build_band_plan, probe_band_dims
-        kind, dim = probe_band_dims(locals_, kind, A.nnz, config)
-        plans = [build_band_plan(sub, kind, dim, band_rows, A.shape[1],
-                                 A.nnz, dtype, config, put=jnp.asarray)
+        kind, dim = probe_band_dims(locals_, kind, nnz, config)
+        plans = [build_band_plan(sub, kind, dim, band_rows, width,
+                                 nnz, dtype, config, put=jnp.asarray)
                  for sub in locals_]
     else:
         raise PartitionError(f"unknown plan kind {kind!r}")
+    return _stack_plans(plans), kind
 
+
+def partition_row_plans(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
+                        kind: str = None, op: str = None,
+                        config: SBlasConfig = DEFAULT) -> RowPlanShards:
+    """nnz-balanced row-granular shards, each laid out as a fast plan.
+
+    `kind` in {"bsr", "ell", "dia", "routed", "wcoo", "coo", None}; None
+    picks by `pick_shard_kind` (a power-law shard must NOT allocate
+    band_rows x max_row_nnz ELL slots; RoutedPlan is SpMV-only)."""
+    require(n_shards >= 1, PartitionError, f"bad n_shards {n_shards}")
+    bounds = _row_boundaries(A, n_shards)
+    band_rows = _round_up(int(np.max(bounds[1:] - bounds[:-1])) or 1, 128)
+
+    if kind is None:
+        kind = pick_shard_kind(A, op, config)
+    locals_ = [_local_csr(A, int(bounds[s]), int(bounds[s + 1]), band_rows)
+               for s in range(n_shards)]
+    stacked, kind = build_stacked_plans(locals_, kind, band_rows,
+                                        A.shape[1], A.nnz, dtype, config)
     return RowPlanShards(
-        plan=_stack_plans(plans),
+        plan=stacked,
         row_offsets=jnp.asarray(bounds[:-1], jnp.int32).reshape(-1, 1),
         shape=A.shape, nnz=A.nnz, n_shards=n_shards,
         band_rows=band_rows, kind=kind)
-
-
-def _partition_routed(A: CsrMatrix, n_shards: int, bounds: np.ndarray,
-                      band_rows: int, dtype, config) -> RowPlanShards:
-    """Per-shard RoutedPlan over row-granular shards with shared static
-    sizes: distributed unstructured SpMV rides the framework's fastest
-    single-chip engine instead of falling back to tier-0 COO segment-sum —
-    matching the reference's delegation of per-GPU compute to cuSPARSE
-    regardless of structure (spmv.h:104-106).
-
-    All shards are padded to the max natural (n_gtiles, n_srows), which
-    makes every static field — and hence the route-layer schedules — equal,
-    so the plans tree-stack into one shard_map program."""
-    from ..ops.rspmv import RoutedPlan, routed_shard_sizes
-    locals_ = [_local_csr(A, int(bounds[s]), int(bounds[s + 1]), band_rows)
-               for s in range(n_shards)]
-    sizes = [routed_shard_sizes(sub, config) for sub in locals_]
-    tg = max(t for t, _, _ in sizes)
-    sr = max(s for _, s, _ in sizes)
-    pr = max(p for _, _, p in sizes)
-    plans = [dataclasses.replace(
-        RoutedPlan.from_csr(sub, dtype=dtype, config=config,
-                            min_gtiles=tg, min_srows=sr, min_prows=pr),
-        nnz=A.nnz)
-        for sub in locals_]
-    require(len({p.schedule for p in plans}) == 1
-            and len({p.unrank_schedule for p in plans}) == 1,
-            PartitionError, "routed shard schedules diverged despite "
-            "shared static sizes (planner bug)")
-    return RowPlanShards(
-        plan=_stack_plans(plans),
-        row_offsets=jnp.asarray(bounds[:-1], jnp.int32).reshape(-1, 1),
-        shape=A.shape, nnz=A.nnz, n_shards=n_shards,
-        band_rows=band_rows, kind="routed")
 
 
 def _local_spmm(kind, plan, B):

@@ -36,9 +36,16 @@ from typing import Tuple
 
 ICI_BW_DEFAULT = float(os.environ.get("SBLAS_ICI_BW", 9e10))  # bytes/s
 
+# Measured v5e device-side data-movement constants (CLAUDE.md): XLA
+# elementwise gather ~2.3 ns/element; a routed permutation (ops/route.py)
+# ~0.09 ns/element of padded route space (4M elements in 0.35 ms).  The
+# xfoot planner and the scaling model price extraction with these.
+GATHER_NS = float(os.environ.get("SBLAS_GATHER_NS", 2.3))
+ROUTE_NS = float(os.environ.get("SBLAS_ROUTE_NS", 0.09))
+
 
 def collective_bytes(mode: str, result_bytes: int, n: int,
-                     halo_bytes: int = 0) -> float:
+                     halo_bytes: int = 0, xfoot_bytes: float = 0) -> float:
     """Exposed per-chip collective bytes for one op invocation."""
     if n <= 1:
         return 0.0
@@ -50,6 +57,10 @@ def collective_bytes(mode: str, result_bytes: int, n: int,
         return 1.0 * result_bytes * (n - 1) / n
     if mode == "halo":
         return 2.0 * halo_bytes
+    if mode == "xfoot":
+        # hot psum + packet all_to_all, real plan-time footprint counts
+        # (parallel/xfoot.py::XFootStats.comm_bytes)
+        return xfoot_bytes
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -64,12 +75,23 @@ class ModeProjection:
 
 
 def project(mode: str, t1_ms: float, result_bytes: int, n: int,
-            halo_bytes: int = 0,
-            ici_bw: float = ICI_BW_DEFAULT) -> ModeProjection:
-    """Project one mode's n-chip time and efficiency from measured t1."""
-    comm_ms = collective_bytes(mode, result_bytes, n, halo_bytes) \
-        / ici_bw * 1e3
-    t_n = t1_ms / n + comm_ms
+            halo_bytes: int = 0, ici_bw: float = ICI_BW_DEFAULT,
+            xfoot_stats=None, itemsize: int = 4,
+            shard_ms: float = None) -> ModeProjection:
+    """Project one mode's n-chip time and efficiency from measured t1.
+
+    `xfoot_stats` (parallel/xfoot.py::XFootStats) prices the xfoot mode:
+    real footprint collective bytes + the extraction engine's modeled
+    device time.  `shard_ms` substitutes a MEASURED per-shard compute
+    time for the t1/n assumption (the per-shard routed plan's x-route
+    shrinks with the shard, so t1/n overstates compute)."""
+    xf_bytes = (xfoot_stats.comm_bytes(itemsize)
+                if xfoot_stats is not None else 0)
+    comm_ms = collective_bytes(mode, result_bytes, n, halo_bytes,
+                               xf_bytes) / ici_bw * 1e3
+    if mode == "xfoot" and xfoot_stats is not None:
+        comm_ms += xfoot_stats.extract_ns * 1e-6
+    t_n = (shard_ms if shard_ms is not None else t1_ms / n) + comm_ms
     return ModeProjection(mode=mode, n=n, t1_ms=t1_ms, t_n_ms=t_n,
                           comm_ms=comm_ms,
                           efficiency=t1_ms / (n * t_n) if t_n else 1.0)
@@ -81,8 +103,14 @@ def best_mode(projections) -> ModeProjection:
 
 def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
                  halo_rows: int = 0, chips: Tuple[int, ...] = (4, 16),
-                 ici_bw: float = ICI_BW_DEFAULT):
-    """Human-readable per-mode scaling lines for one workload."""
+                 ici_bw: float = ICI_BW_DEFAULT, xfoot: dict = None,
+                 xfoot_shard_ms: dict = None):
+    """Human-readable per-mode scaling lines for one workload.
+
+    `xfoot` maps chip count -> XFootStats (parallel/xfoot.py) to price
+    the footprint-compressed x-exchange mode; `xfoot_shard_ms` maps chip
+    count -> MEASURED per-shard compute ms for that mode (falls back to
+    t1/n when absent)."""
     result_bytes = m * max(k, 1) * itemsize
     halo_bytes = halo_rows * max(k, 1) * itemsize
     # mode 1 (partition dense B, zero collectives) only exists for SpMM —
@@ -98,6 +126,11 @@ def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
     for n in chips:
         projs = [project(mo, t1_ms, result_bytes, n, halo_bytes, ici_bw)
                  for mo in modes]
+        if xfoot and n in xfoot:
+            projs.append(project(
+                "xfoot", t1_ms, result_bytes, n, halo_bytes, ici_bw,
+                xfoot_stats=xfoot[n], itemsize=itemsize,
+                shard_ms=(xfoot_shard_ms or {}).get(n)))
         cells = ", ".join(
             f"{p.mode} {p.efficiency * 100:.0f}%"
             + (f" (comm {p.comm_ms:.3f} ms)" if p.comm_ms else "")
