@@ -103,7 +103,8 @@ def main() -> int:
     # edges) costs ~15 s on this host; persist it like FFTW wisdom.
     # v2: skewed proxy + hub peeling (cache is keyed by file name).
     from sblas_tpu.io.plancache import load_plan, save_plan
-    cache = os.path.join(".bench_cache", "webbase_spmv_f32_v3.npz")
+    # v4: heavy-row stack-cap splitting added to the routed plan
+    cache = os.path.join(".bench_cache", "webbase_spmv_f32_v4.npz")
     if os.path.exists(cache):
         wbest = load_plan(cache)
     else:
@@ -155,8 +156,102 @@ def main() -> int:
     for line in report_lines("spmm", ms_best, A.shape[0], K, 4,
                              halo_rows=2412):
         print(line, file=sys.stderr)
-    for line in report_lines("spmv", ms_wbest, W.shape[0], 1, 4):
+
+    # xfoot (footprint-compressed x-exchange): real plan-time exchange
+    # geometry + per-shard compute MEASURED on the chip (the heaviest
+    # shard's local plan is exactly what every shard executes inside the
+    # shard_map program; t1/n would overstate compute for small shards)
+    from sblas_tpu.ops.rspmv import RoutedPlan, spmv_routed
+    from sblas_tpu.parallel.xfoot import xfoot_stats, xfoot_worst_local
+    xf, shard_ms = {}, {}
+    for nsh in (4, 16):
+        xf[nsh] = xfoot_stats(W, nsh)
+        local, (tg, srs, prs, sks) = xfoot_worst_local(W, nsh)
+        sc = os.path.join(".bench_cache",
+                          f"webbase_xfoot_shard{nsh}_f32_v1.npz")
+        if os.path.exists(sc):
+            lplan = load_plan(sc)
+        else:
+            lplan = RoutedPlan.from_csr(local, dtype=jnp.float32,
+                                        min_gtiles=tg, min_srows=srs,
+                                        min_prows=prs, min_sranks=sks)
+            save_plan(sc, lplan)
+        xl = jnp.asarray(
+            DenseVector.random(local.shape[1], dtype=np.float32).values)
+        yl = jnp.zeros(local.shape[0], jnp.float32)
+
+        def sstep(yc, p, xv):
+            return spmv_routed(p, xv + 1e-6 * yc[0], 1.0, 1.0, yc)
+
+        shard_ms[nsh] = loop_time_ms(sstep, yl, iters=256,
+                                     args=(lplan, xl))
+        print(f"# xfoot[spmv] n={nsh}: shard compute "
+              f"{shard_ms[nsh] * 1e3:.1f} us (measured), hot "
+              f"{xf[nsh].hot_total}, packets {xf[nsh].packet_pad}/pair, "
+              f"extract {xf[nsh].extract_mode}", file=sys.stderr)
+    for line in report_lines("spmv", ms_wbest, W.shape[0], 1, 4, xfoot=xf,
+                             xfoot_shard_ms=shard_ms):
         print(line, file=sys.stderr)
+
+    # weak scaling (per-chip-constant work): the strong-scaling n=16 cell
+    # splits a 3M-nnz problem into 0.19M-nnz shards — below the fixed-
+    # cost scale of any plan machinery (per-shard route passes and
+    # dispatches do not shrink with the shard).  BASELINE's "at per-chip
+    # speed of light" framing is the weak regime: per-chip 1M rows, the
+    # single-chip workload itself.  eff_weak = t1(1M matrix) / t_n where
+    # t_n = measured worst-shard compute on the 4M matrix at n=4 + the
+    # modeled xfoot exchange.
+    W4 = webbase_like(n=4_000_000, dtype=np.float32)
+    st4 = xfoot_stats(W4, 4)
+    c4 = os.path.join(".bench_cache", "webbase4m_xfoot_shard4_f32_v1.npz")
+    if os.path.exists(c4):
+        lplan4 = load_plan(c4)
+    else:
+        local4, (tg, srs, prs, sks) = xfoot_worst_local(W4, 4)
+        lplan4 = RoutedPlan.from_csr(local4, dtype=jnp.float32,
+                                     min_gtiles=tg, min_srows=srs,
+                                     min_prows=prs, min_sranks=sks)
+        save_plan(c4, lplan4)
+    xl4 = jnp.asarray(
+        DenseVector.random(lplan4.shape[1], dtype=np.float32).values)
+    yl4 = jnp.zeros(lplan4.shape[0], jnp.float32)
+    ms4 = loop_time_ms(lambda yc, p, xv:
+                       spmv_routed(p, xv + 1e-6 * yc[0], 1.0, 1.0, yc),
+                       yl4, iters=64, args=(lplan4, xl4))
+    comm4_ms = st4.comm_bytes(4) / 9e10 * 1e3 + st4.extract_ns * 1e-6
+    eff_weak = ms_wbest / (ms4 + comm4_ms)
+    print(f"# scaling[spmv] WEAK n=4 (1M rows/chip, 4M-row matrix): "
+          f"shard {ms4:.3f} ms + comm {comm4_ms:.3f} ms -> "
+          f"{eff_weak * 100:.0f}% of per-chip speed of light "
+          f"({'meets' if eff_weak >= 0.8 else 'MISSES'} 80% target)",
+          file=sys.stderr)
+
+    # two-tier (slice, chip) projections: the hierarchical mode keeps all
+    # but 1/c of the result off the slow DCN tier (parallel/hier.py)
+    from sblas_tpu.scaling import project_flat_over_dcn, project_hier
+    for op_name, t1, rb in (("spmm", ms_best, A.shape[0] * K * 4),
+                            ("spmv", ms_wbest, W.shape[0] * 4)):
+        for (s, c) in ((2, 4), (4, 4)):
+            h = project_hier(t1, rb, s, c)
+            f = project_flat_over_dcn(t1, rb, s, c)
+            print(f"# scaling[{op_name}] two-tier {s}x{c}: hier "
+                  f"{h.efficiency * 100:.0f}% (comm {h.comm_ms:.3f} ms) "
+                  f"vs flat-over-DCN {f.efficiency * 100:.0f}% "
+                  f"(comm {f.comm_ms:.3f} ms)", file=sys.stderr)
+
+    # real multi-chip: measure instead of projecting the moment more than
+    # one TPU device is attached (scaling.py::measured_multichip; today's
+    # rig exposes a single chip, so this stays dormant but tested)
+    if len(jax.devices()) > 1 and jax.default_backend() == "tpu":
+        from sblas_tpu.scaling import measured_multichip
+        chips = [n for n in (2, 4, 8, 16) if n <= len(jax.devices())]
+        for op_name, mat, kk, t1 in (("spmm", A, K, ms_best),
+                                     ("spmv", W, 1, ms_wbest)):
+            for n, ms in measured_multichip(op_name, mat, kk, jnp.float32,
+                                            chips):
+                eff = t1 / (n * ms) if ms else float("inf")
+                print(f"# measured[{op_name}] n={n}: {ms:.3f} ms, "
+                      f"efficiency {eff * 100:.0f}%", file=sys.stderr)
 
     geomean = float(np.sqrt((ms_base / ms_best) * (ms_wb / ms_wbest)))
     print(f"# spmm speedup {ms_base/ms_best:.1f}x, spmv speedup "

@@ -18,6 +18,16 @@ import os
 import sys
 
 
+def ensure_dtype(dtype_name: str) -> None:
+    """Flip jax_enable_x64 BEFORE any trace when f64 is requested: the
+    reference's drivers verify in double (spmv_test.cu:36), and JAX
+    silently canonicalizes float64 -> float32 otherwise.  On TPU, f64
+    then runs as XLA's software-emulated double — slow but exact."""
+    if dtype_name == "f64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+
 def setup_devices(n_requested: int):
     """Return (mesh, n_effective).  Must run before any other jax use."""
     import jax

@@ -27,6 +27,8 @@ def main(argv=None) -> int:
         argv, range(6), (str, str, int, float, float, int), USAGE)
     dtype_name = argv[6] if len(argv) > 6 else "f32"
 
+    from .common import ensure_dtype
+    ensure_dtype(dtype_name)
     mesh, n = setup_devices(n_dev)
 
     import jax.numpy as jnp

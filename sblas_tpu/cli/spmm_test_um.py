@@ -34,6 +34,8 @@ def main(argv=None) -> int:
     tuning = bool(int(argv[6])) if len(argv) > 6 else False
     dtype_name = argv[7] if len(argv) > 7 else "f32"
 
+    from .common import ensure_dtype
+    ensure_dtype(dtype_name)
     setup_devices(n_dev)
 
     import jax.numpy as jnp

@@ -1,24 +1,33 @@
 """SpMV driver — argv contract of the reference's spmv_test binary.
 
     python -m sblas_tpu.cli.spmv_test <A.mtx> <alpha> <beta> <n_devices>
-                                      [f32|f64] [--mode dist|distp|halo|halop|single]
+                                      [f32|f64]
+                                      [--mode dist|distp|halo|halop|xfoot|single]
+                                      [--plan-cache PATH]
 
 Mirrors spmv_test.cu:44-60 (spmvCsrTest :9-42): A nnz-segmented, x/y
 replicated, partial-y sum collective, CPU-oracle verification.  `--mode
 halo` selects the row-block + ppermute x-exchange variant (BASELINE.md
 config 4); `distp`/`halop` run the same strategies with per-shard fast
-plans (parallel/planned.py); `--mode single` runs the single-chip kernel.
+plans (parallel/planned.py); `--mode xfoot` the footprint-compressed
+x-exchange (parallel/xfoot.py); `--mode single` the single-chip kernel.
+`--plan-cache` persists the built plan/shards (FFTW-wisdom style,
+io/plancache.py): first run builds and saves, later runs load — the
+analysis (routed edge coloring: seconds-to-minutes at scale) is paid
+once, unlike the reference's per-run re-analysis (matrix.h:341-395).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 from .common import finish, positional, setup_devices
 
 USAGE = ("usage: python -m sblas_tpu.cli.spmv_test "
          "<A.mtx> <alpha> <beta> <n_devices> [f32|f64] "
-         "[--mode dist|halo|single]")
+         "[--mode dist|distp|halo|halop|xfoot|single] "
+         "[--plan-cache PATH]")
 
 
 def main(argv=None) -> int:
@@ -30,7 +39,12 @@ def main(argv=None) -> int:
     mode = "dist"
     if "--mode" in rest:
         mode = rest[rest.index("--mode") + 1]
+    cache_path = None
+    if "--plan-cache" in rest:
+        cache_path = rest[rest.index("--plan-cache") + 1]
 
+    from .common import ensure_dtype
+    ensure_dtype(dtype_name)
     mesh, n = setup_devices(n_dev)
 
     import jax.numpy as jnp
@@ -40,8 +54,9 @@ def main(argv=None) -> int:
     from ..ops import make_plan, spmv
     from ..ops.cpu_reference import spmv_cpu
     from ..parallel import (partition_halo_dia, partition_row_plans,
-                            spmv_dist, spmv_dist_planned, spmv_halo,
-                            spmv_halo_planned, sync_to_host)
+                            partition_xfoot, spmv_dist, spmv_dist_planned,
+                            spmv_halo, spmv_halo_planned, spmv_xfoot,
+                            sync_to_host)
     from ..partition import (partition_nnz_balanced, partition_report,
                              partition_row_blocks)
     from ..utils.timing import nnz_per_s, timed
@@ -50,6 +65,21 @@ def main(argv=None) -> int:
     np_dtype = np.float64 if dtype_name == "f64" else np.float32
     jnp_dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
     times: dict = {}
+
+    from ..io.plancache import load_plan, save_plan
+
+    def cached(build):
+        """Build-once/run-many: load the plan from --plan-cache when
+        present, else build and persist it."""
+        if cache_path and os.path.exists(cache_path):
+            obj = load_plan(cache_path)
+            print(f"plan cache: loaded {cache_path}")
+            return obj
+        obj = build()
+        if cache_path:
+            save_plan(cache_path, obj)
+            print(f"plan cache: saved {cache_path}")
+        return obj
 
     with timed("Load time", times):
         A = CsrMatrix.from_mtx(path, dtype=np_dtype)
@@ -60,8 +90,8 @@ def main(argv=None) -> int:
             segs = partition_nnz_balanced(A, n, dtype=jnp_dtype)
             print(partition_report(segs))
         elif mode == "distp":
-            shards = partition_row_plans(A, n, dtype=jnp_dtype,
-                                         op="spmv")
+            shards = cached(lambda: partition_row_plans(
+                A, n, dtype=jnp_dtype, op="spmv"))
             print(f"per-shard plans: kind={shards.kind}, "
                   f"band_rows={shards.band_rows}")
         elif mode == "halo":
@@ -69,11 +99,19 @@ def main(argv=None) -> int:
             print(f"halo widths: {blocks.halo_left}/{blocks.halo_right} "
                   f"(block {blocks.rows_per_shard})")
         elif mode == "halop":
-            hshards = partition_halo_dia(A, n, dtype=jnp_dtype)
+            hshards = cached(lambda: partition_halo_dia(
+                A, n, dtype=jnp_dtype))
             print(f"halo DIA shards: {len(hshards.plan.offsets)} diagonals, "
                   f"block {hshards.rows_per_shard}")
+        elif mode == "xfoot":
+            xshards = cached(lambda: partition_xfoot(
+                A, n, dtype=jnp_dtype))
+            st = xshards.stats
+            print(f"xfoot shards: kind={xshards.kind}, hot {st.hot_total},"
+                  f" packets {st.packet_pad}/pair, extract "
+                  f"{st.extract_mode}")
         else:
-            plan = make_plan(A, dtype=jnp_dtype, op="spmv")
+            plan = cached(lambda: make_plan(A, dtype=jnp_dtype, op="spmv"))
     print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, {n} device(s), "
           f"mode {mode}")
 
@@ -86,6 +124,7 @@ def main(argv=None) -> int:
         "halo": lambda: spmv_halo(blocks, xd, alpha, beta, yd, mesh),
         "halop": lambda: spmv_halo_planned(hshards, xd, alpha, beta, yd,
                                            mesh),
+        "xfoot": lambda: spmv_xfoot(xshards, xd, alpha, beta, yd, mesh),
         "single": lambda: spmv(plan, xd, alpha, beta, yd),
     }[mode]
     run_c = {
@@ -97,10 +136,13 @@ def main(argv=None) -> int:
                                            mesh),
         "halop": lambda e, o, hs: spmv_halo_planned(hs, xd + e, alpha,
                                                     beta, o, mesh),
+        "xfoot": lambda e, o, xs: spmv_xfoot(xs, xd + e, alpha, beta, o,
+                                             mesh),
         "single": lambda e, o, pl: spmv(pl, xd + e, alpha, beta, o),
     }[mode]
     operands = {"dist": lambda: segs, "distp": lambda: shards,
                 "halo": lambda: blocks, "halop": lambda: hshards,
+                "xfoot": lambda: xshards,
                 "single": lambda: plan}[mode]()
     run()  # compile
     ms, got, est = steady_run_ms(run, run_c, operands)

@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     tuning = bool(int(argv[4])) if len(argv) > 4 else False
     dtype_name = argv[5] if len(argv) > 5 else "f32"
 
+    from .common import ensure_dtype
+    ensure_dtype(dtype_name)
     setup_devices(n_dev)
 
     import jax.numpy as jnp

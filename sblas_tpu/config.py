@@ -81,6 +81,23 @@ class SBlasConfig:
     # tiling ~16x.  Values < 1 disable peeling.
     routed_peel_threshold: int = 128
 
+    # Balanced column relabel for the routed engine's slab-bucket gather.
+    # The relabel buys near-uniform bucket loads at the cost of one extra
+    # x-route per call (~19 us at shard scale, where per-pass launch
+    # overhead dominates).  With hub peeling on, residual in-degrees are
+    # < routed_peel_threshold, so small/sharded plans often win by
+    # skipping it; the distributed planners measure-or-model the choice.
+    routed_relabel: bool = True
+
+    # Lane-stack depth cap for the routed engine: a row with more than
+    # this many nonzeros is split across ceil(deg/cap) rank slots whose
+    # partials merge in one small segment-sum before the unrank route.
+    # Without the cap a power-law head row sets its whole 128-lane
+    # block's stack depth (measured: a webbase shard stacked 528k slots
+    # for 202k nnz and crossed a routable-size cliff into a 1.05M-slot
+    # route — 2.6x fill and 2x padding).  Values < 1 disable splitting.
+    routed_stack_cap: int = 256
+
     @staticmethod
     def from_env() -> "SBlasConfig":
         def _f(name: str, default: float) -> float:
@@ -104,6 +121,9 @@ class SBlasConfig:
             routed_min_nnz=_i("SBLAS_ROUTED_MIN_NNZ", 262_144),
             routed_min_width=_i("SBLAS_ROUTED_MIN_WIDTH", 65_536),
             routed_peel_threshold=_i("SBLAS_ROUTED_PEEL", 128),
+            routed_relabel=os.environ.get("SBLAS_ROUTED_RELABEL",
+                                          "1") != "0",
+            routed_stack_cap=_i("SBLAS_ROUTED_STACK_CAP", 256),
         )
 
 

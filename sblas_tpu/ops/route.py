@@ -351,6 +351,18 @@ def route_tables_device(prog: RouteProgram):
                  if op[0] in ("gather", "mix"))
 
 
+# NOTE on a fused single-kernel executor (attempted, removed): each
+# layered pass is HBM-bound (~2.2 us/pass at N=262144 measured v5e), so
+# fusing a 9-layer route into one Pallas kernel looked like a 2x win and
+# measured 7.7 us for 9 layers on a 128x128-block toy.  The REAL
+# schedules interleave view_transposes whose reshapes regroup the minor
+# dimension (e.g. vector<128x128x16> -> vector<2048x128>); Mosaic's
+# infer-vector-layout rejects those shape casts ("unsupported shape
+# cast"), and only the 128x128-block special case compiles.  Interpret
+# mode accepts everything, so CPU tests cannot catch this — do not
+# re-add without a real-chip compile check.
+
+
 def apply_route(prog_or_schedule, x: jax.Array, tables) -> jax.Array:
     """Execute the layer program on device.  `x` must already be padded to
     the program's element count; returns the permuted array.  Traceable —

@@ -13,5 +13,7 @@ from .planned import (HaloDiaShards, RowPlanShards, partition_halo_dia,  # noqa:
                       spmm_mode2_planned, spmm_mode2_planned_nocomm,
                       spmv_dist_planned, spmv_dist_planned_nocomm,
                       spmv_halo_planned)
+from .hier import (make_mesh2, spmm_mode2_hier,  # noqa: F401
+                   spmv_dist_hier)
 from .xfoot import (XFootShards, XFootStats, partition_xfoot,  # noqa: F401
                     spmv_xfoot, xfoot_stats)

@@ -135,12 +135,11 @@ def build_stacked_plans(locals_, kind: str, band_rows: int, width: int,
         # route-layer schedules — equal, so the plans tree-stack
         from ..ops.rspmv import RoutedPlan, routed_shard_sizes
         sizes = [routed_shard_sizes(sub, config) for sub in locals_]
-        tg = max(t for t, _, _ in sizes)
-        sr = max(s for _, s, _ in sizes)
-        pr = max(p for _, _, p in sizes)
+        tg, sr, pr, sk = (max(z[i] for z in sizes) for i in range(4))
         plans = [dataclasses.replace(
             RoutedPlan.from_csr(sub, dtype=dtype, config=config,
-                                min_gtiles=tg, min_srows=sr, min_prows=pr),
+                                min_gtiles=tg, min_srows=sr, min_prows=pr,
+                                min_sranks=sk),
             nnz=nnz)
             for sub in locals_]
         require(len({p.schedule for p in plans}) == 1
@@ -288,7 +287,14 @@ def _mode2p_spmv_program(mesh: Mesh, axis: str, reduce: str, kind: str,
         fn, mesh=mesh,
         in_specs=(P(axis), P(), y_spec, P(), P()),
         out_specs=y_spec,
-        check_vma=(kind != "routed")))
+        # routed kind runs Pallas kernels whose INTERPRET-mode block
+        # extraction (dynamic_slice by grid index) trips the vma checker
+        # on any grid>1 kernel over device-varying data — a pallas
+        # hlo_interpreter limitation, not an index-map soundness issue
+        # (the shard_map path pre-gathers slabs so every index map is
+        # grid-only; see ops/rspmv.py::_gathered_contrib).  Compiled TPU
+        # lowering typechecks, so the opt-out is scoped to interpret.
+        check_vma=(kind != "routed" or jax.default_backend() == "tpu")))
 
 
 def spmm_mode2_planned(shards: RowPlanShards, B, alpha, beta, C, mesh: Mesh,
@@ -352,7 +358,14 @@ def _mode2p_nocomm_program(mesh: Mesh, axis: str, kind: str, op: str):
     out = P(axis, None) if op == "spmm" else P(axis)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh, in_specs=(P(axis), P()), out_specs=out,
-        check_vma=(kind != "routed")))
+        # routed kind runs Pallas kernels whose INTERPRET-mode block
+        # extraction (dynamic_slice by grid index) trips the vma checker
+        # on any grid>1 kernel over device-varying data — a pallas
+        # hlo_interpreter limitation, not an index-map soundness issue
+        # (the shard_map path pre-gathers slabs so every index map is
+        # grid-only; see ops/rspmv.py::_gathered_contrib).  Compiled TPU
+        # lowering typechecks, so the opt-out is scoped to interpret.
+        check_vma=(kind != "routed" or jax.default_backend() == "tpu")))
 
 
 def spmm_mode2_planned_nocomm(shards: RowPlanShards, B, mesh: Mesh,

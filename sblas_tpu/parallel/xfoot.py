@@ -263,11 +263,9 @@ def xfoot_worst_local(A: CsrMatrix, n_shards: int):
     lay = _xfoot_analyze(A, n_shards)
     locals_ = [_remap_local(A, s, lay) for s in range(n_shards)]
     sizes = [routed_shard_sizes(sub) for sub in locals_]
-    tg = max(t for t, _, _ in sizes)
-    sr = max(s for _, s, _ in sizes)
-    pr = max(p for _, _, p in sizes)
     worst = int(np.argmax([sub.nnz for sub in locals_]))
-    return locals_[worst], (tg, sr, pr)
+    return locals_[worst], tuple(
+        max(z[i] for z in sizes) for i in range(4))
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -441,7 +439,14 @@ def _xfoot_program(mesh: Mesh, axis: str, kind: str, hot_total: int,
         fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(), P()),
         out_specs=P(axis),
-        check_vma=(kind != "routed")))
+        # routed kind runs Pallas kernels whose INTERPRET-mode block
+        # extraction (dynamic_slice by grid index) trips the vma checker
+        # on any grid>1 kernel over device-varying data — a pallas
+        # hlo_interpreter limitation, not an index-map soundness issue
+        # (the shard_map path pre-gathers slabs so every index map is
+        # grid-only; see ops/rspmv.py::_gathered_contrib).  Compiled TPU
+        # lowering typechecks, so the opt-out is scoped to interpret.
+        check_vma=(kind != "routed" or jax.default_backend() == "tpu")))
 
 
 def spmv_xfoot(shards: XFootShards, x, alpha, beta, y, mesh: Mesh,

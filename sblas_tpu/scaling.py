@@ -43,6 +43,12 @@ ICI_BW_DEFAULT = float(os.environ.get("SBLAS_ICI_BW", 9e10))  # bytes/s
 GATHER_NS = float(os.environ.get("SBLAS_GATHER_NS", 2.3))
 ROUTE_NS = float(os.environ.get("SBLAS_ROUTE_NS", 0.09))
 
+# Cross-slice (DCN) bandwidth per chip, bytes/s.  A model parameter like
+# ICI_BW_DEFAULT: ~200 Gbps NIC per v5e host shared by 4 chips, derated —
+# override with SBLAS_DCN_BW.  Only the hierarchical two-tier mode uses
+# it (parallel/hier.py).
+DCN_BW_DEFAULT = float(os.environ.get("SBLAS_DCN_BW", 5e9))
+
 
 def collective_bytes(mode: str, result_bytes: int, n: int,
                      halo_bytes: int = 0, xfoot_bytes: float = 0) -> float:
@@ -101,6 +107,40 @@ def best_mode(projections) -> ModeProjection:
     return max(projections, key=lambda p: p.efficiency)
 
 
+def project_hier(t1_ms: float, result_bytes: int, n_slices: int,
+                 chips_per_slice: int, ici_bw: float = ICI_BW_DEFAULT,
+                 dcn_bw: float = DCN_BW_DEFAULT,
+                 shard_ms: float = None) -> ModeProjection:
+    """Two-tier mode-2 projection (parallel/hier.py): ICI reduce-scatter
+    within the slice moves S*(c-1)/c bytes/chip; the cross-slice psum
+    then carries only the 1/c row band over DCN — 2*(S/c)*(s-1)/s
+    bytes/chip.  Compare against flat mode2_psum_scatter whose single
+    collective would ride the slowest (DCN) tier end to end."""
+    s, c = n_slices, chips_per_slice
+    n = s * c
+    ici_ms = (result_bytes * (c - 1) / c / ici_bw * 1e3) if c > 1 else 0.0
+    dcn_ms = (2.0 * (result_bytes / max(c, 1)) * (s - 1) / s
+              / dcn_bw * 1e3) if s > 1 else 0.0
+    comm_ms = ici_ms + dcn_ms
+    t_n = (shard_ms if shard_ms is not None else t1_ms / n) + comm_ms
+    return ModeProjection(mode=f"hier_{s}x{c}", n=n, t1_ms=t1_ms,
+                          t_n_ms=t_n, comm_ms=comm_ms,
+                          efficiency=t1_ms / (n * t_n) if t_n else 1.0)
+
+
+def project_flat_over_dcn(t1_ms: float, result_bytes: int, n_slices: int,
+                          chips_per_slice: int,
+                          dcn_bw: float = DCN_BW_DEFAULT) -> ModeProjection:
+    """Flat psum_scatter over all s*c devices when the ring crosses
+    slices: the whole collective is throttled to the DCN tier."""
+    n = n_slices * chips_per_slice
+    comm_ms = result_bytes * (n - 1) / n / dcn_bw * 1e3 if n > 1 else 0.0
+    t_n = t1_ms / n + comm_ms
+    return ModeProjection(mode=f"flat_{n_slices}x{chips_per_slice}", n=n,
+                          t1_ms=t1_ms, t_n_ms=t_n, comm_ms=comm_ms,
+                          efficiency=t1_ms / (n * t_n) if t_n else 1.0)
+
+
 def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
                  halo_rows: int = 0, chips: Tuple[int, ...] = (4, 16),
                  ici_bw: float = ICI_BW_DEFAULT, xfoot: dict = None,
@@ -109,8 +149,13 @@ def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
 
     `xfoot` maps chip count -> XFootStats (parallel/xfoot.py) to price
     the footprint-compressed x-exchange mode; `xfoot_shard_ms` maps chip
-    count -> MEASURED per-shard compute ms for that mode (falls back to
-    t1/n when absent)."""
+    count -> MEASURED per-shard compute ms.  When present, the measured
+    number replaces the t1/n assumption for EVERY mode-2-family
+    projection at that chip count — all those modes run the same
+    per-shard plans, and charging one mode measured compute while
+    another gets the optimistic t1/n would bias the comparison (t1/n
+    understates small shards: fixed route/launch costs do not shrink
+    with the shard)."""
     result_bytes = m * max(k, 1) * itemsize
     halo_bytes = halo_rows * max(k, 1) * itemsize
     # mode 1 (partition dense B, zero collectives) only exists for SpMM —
@@ -124,13 +169,14 @@ def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
              f"{result_bytes / 1e6:.1f} MB, ici_bw={ici_bw / 1e9:.0f} GB/s "
              f"(model)"]
     for n in chips:
-        projs = [project(mo, t1_ms, result_bytes, n, halo_bytes, ici_bw)
+        sh = (xfoot_shard_ms or {}).get(n)
+        projs = [project(mo, t1_ms, result_bytes, n, halo_bytes, ici_bw,
+                         shard_ms=(sh if mo.startswith("mode2") else None))
                  for mo in modes]
         if xfoot and n in xfoot:
             projs.append(project(
                 "xfoot", t1_ms, result_bytes, n, halo_bytes, ici_bw,
-                xfoot_stats=xfoot[n], itemsize=itemsize,
-                shard_ms=(xfoot_shard_ms or {}).get(n)))
+                xfoot_stats=xfoot[n], itemsize=itemsize, shard_ms=sh))
         cells = ", ".join(
             f"{p.mode} {p.efficiency * 100:.0f}%"
             + (f" (comm {p.comm_ms:.3f} ms)" if p.comm_ms else "")
@@ -143,18 +189,28 @@ def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
     return lines
 
 
-def measured_multichip(op: str, A, k: int, dtype, mesh, chips) -> list:
+def measured_multichip(op: str, A, k: int, dtype, chips) -> list:
     """When real devices exist, measure nnz/s scaling directly (the
     virtual CPU mesh measures correctness, not time — projections remain
-    the perf story there)."""
+    the perf story there).  Returns [(n, per-call ms)] over `chips`;
+    each chip count runs on a sub-mesh of the first n devices.
+
+    bench.py calls this instead of projecting whenever more than one
+    real TPU device is attached (VERDICT r2 next#5); the CPU-mesh test
+    exercises the same path so it cannot bit-rot before hardware
+    arrives."""
+    import jax
     import jax.numpy as jnp
 
     from .containers import DenseMatrix, DenseVector
-    from .parallel import (partition_row_plans, spmm_mode2_planned,
-                           spmv_dist_planned)
+    from .parallel import (make_mesh, partition_row_plans,
+                           spmm_mode2_planned, spmv_dist_planned)
     from .utils.benchtime import loop_time_ms
     lines = []
     for n in chips:
+        if n > len(jax.devices()):
+            break
+        mesh = make_mesh(n)
         shards = partition_row_plans(A, n, dtype=dtype,
                                      op="spmv" if op == "spmv" else None)
         if op == "spmv":
@@ -162,23 +218,23 @@ def measured_multichip(op: str, A, k: int, dtype, mesh, chips) -> list:
             y = jnp.asarray(
                 DenseVector.constant(A.height, 1.0).values, dtype)
 
-            def step(yc, sh):
+            def step(yc, sh, xv):
                 # carry as the accumulate operand + nonzero eps: a 0.0
                 # coupling folds and lets XLA hoist the loop body
-                return spmv_dist_planned(sh, x + 1e-6 * yc[0], 1.0, 1.0,
+                return spmv_dist_planned(sh, xv + 1e-6 * yc[0], 1.0, 1.0,
                                          yc, mesh)
 
-            ms = loop_time_ms(step, y, args=(shards,))
+            ms = loop_time_ms(step, y, args=(shards, x))
         else:
             B = jnp.asarray(DenseMatrix.random(A.width, k).values, dtype)
             C = jnp.asarray(
                 DenseMatrix.constant(A.height, k, 1.0).values, dtype)
 
-            def step(Cc, sh):
-                return spmm_mode2_planned(sh, B + 1e-6 * Cc[0, 0], 1.0,
+            def step(Cc, sh, Bv):
+                return spmm_mode2_planned(sh, Bv + 1e-6 * Cc[0, 0], 1.0,
                                           1.0, Cc, mesh)
 
-            ms = loop_time_ms(step, C, args=(shards,))
+            ms = loop_time_ms(step, C, args=(shards, B))
         lines.append((n, ms))
     return lines
 

@@ -31,7 +31,7 @@ def test_spmm_cli(mtx_path, method, capsys):
 
 
 @pytest.mark.parametrize("mode", ["dist", "distp", "halo", "halop",
-                                  "single"])
+                                  "xfoot", "single"])
 def test_spmv_cli(mtx_path, mode, capsys):
     from sblas_tpu.cli.spmv_test import main
     rc = main([mtx_path, "3.0", "4.0", "4", "f64", "--mode", mode])
@@ -138,3 +138,20 @@ def test_comm_time_reported(mtx_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "Comm time (exposed psum)" in out
+
+
+def test_spmv_cli_plan_cache(mtx_path, tmp_path, capsys):
+    """--plan-cache: first run builds and saves, second loads (FFTW-wisdom
+    build-once/run-many; VERDICT r2 next#4)."""
+    from sblas_tpu.cli.spmv_test import main
+    cache = str(tmp_path / "distp.npz")
+    rc = main([mtx_path, "3.0", "4.0", "4", "f64", "--mode", "distp",
+               "--plan-cache", cache])
+    out = capsys.readouterr().out
+    assert rc == 0 and "plan cache: saved" in out and os.path.exists(cache)
+    rc = main([mtx_path, "3.0", "4.0", "4", "f64", "--mode", "distp",
+               "--plan-cache", cache])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "plan cache: loaded" in out
+    assert "Validation = True" in out

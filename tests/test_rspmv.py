@@ -177,3 +177,74 @@ class TestHubPeel:
         got = spmv_routed(plan, jnp.asarray(x.values), 1.0, 1.0,
                           jnp.asarray(y.values))
         assert_equal(np.asarray(got), spmv_cpu(A, x, 1.0, 1.0, y))
+
+
+class TestStackCapSplit:
+    """Heavy-row splitting (config.routed_stack_cap): a power-law head
+    row must not set its whole 128-lane block's stack depth."""
+
+    def _heavy_row_matrix(self, m=2048, n=4096, heavy=800, n_heavy=64,
+                          seed=17):
+        from sblas_tpu.containers import CooMatrix
+        rng = np.random.RandomState(seed)
+        hr = rng.choice(m, size=n_heavy, replace=False).astype(np.int64)
+        rows = [np.repeat(hr, heavy),
+                np.repeat(np.arange(m, dtype=np.int64), 2)]
+        rows = np.concatenate(rows)
+        cols = rng.randint(0, n, size=len(rows)).astype(np.int64)
+        vals = rng.random_sample(len(rows))
+        return CooMatrix(rows, cols, vals, (m, n)).to_csr()
+
+    def test_split_engages_and_verifies(self):
+        from sblas_tpu.config import SBlasConfig
+        A = self._heavy_row_matrix()
+        cfg = SBlasConfig(routed_stack_cap=128)
+        plan = RoutedPlan.from_csr(A, dtype=jnp.float64, config=cfg)
+        assert plan.merged
+        # enough split slots to pack whole blocks: stack stays near
+        # ceil-per-row instead of head-degree x blocks
+        assert plan.stack_fill < 3.0
+        x = DenseVector.random(A.width)
+        y = DenseVector.constant(A.height, 1.0)
+        got = spmv_routed(plan, jnp.asarray(x.values), 2.0, 3.0,
+                          jnp.asarray(y.values))
+        assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))
+
+    def test_split_disabled_matches(self):
+        from sblas_tpu.config import SBlasConfig
+        A = self._heavy_row_matrix()
+        cfg = SBlasConfig(routed_stack_cap=0)
+        plan = RoutedPlan.from_csr(A, dtype=jnp.float64, config=cfg)
+        assert not plan.merged
+        x = DenseVector.random(A.width)
+        y = DenseVector.constant(A.height, 1.0)
+        got = spmv_routed(plan, jnp.asarray(x.values), 2.0, 3.0,
+                          jnp.asarray(y.values))
+        assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))
+
+    def test_cap_reduces_stack(self):
+        from sblas_tpu.config import SBlasConfig
+        A = self._heavy_row_matrix()
+        p_cap = RoutedPlan.from_csr(
+            A, dtype=jnp.float64, config=SBlasConfig(routed_stack_cap=256))
+        p_flat = RoutedPlan.from_csr(
+            A, dtype=jnp.float64, config=SBlasConfig(routed_stack_cap=0))
+        assert p_cap.n_srows < p_flat.n_srows
+
+    def test_distributed_split_shards(self):
+        """Stacked shard plans stay schedule-equal with splitting on."""
+        import jax
+        from sblas_tpu.config import SBlasConfig
+        from sblas_tpu.parallel import (make_mesh, partition_row_plans,
+                                        spmv_dist_planned, sync_to_host)
+        A = self._heavy_row_matrix(m=1024, n=1024)
+        cfg = SBlasConfig(routed_min_nnz=256, routed_min_width=256,
+                          routed_stack_cap=64)
+        shards = partition_row_plans(A, 8, dtype=jnp.float64,
+                                     kind="routed", config=cfg)
+        x = DenseVector.random(A.width)
+        y = DenseVector.constant(A.height, 1.0)
+        got = spmv_dist_planned(shards, jnp.asarray(x.values), 3.0, 4.0,
+                                jnp.asarray(y.values), make_mesh(8),
+                                reduce="psum")
+        assert_equal(sync_to_host(got), spmv_cpu(A, x, 3.0, 4.0, y))

