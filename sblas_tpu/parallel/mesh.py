@@ -39,6 +39,22 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def vma_check_ok(kind: str) -> bool:
+    """check_vma flag for shard_map programs running per-shard plan
+    kernels of the given kind.
+
+    Pallas INTERPRET mode (the CPU test mesh) cannot typecheck grid>1
+    kernels over device-varying data — its own block extraction
+    dynamic-slices by grid index, and those indices carry no
+    varying-manual-axes — so kinds whose kernels are Pallas ("routed",
+    "wcoo") opt out under interpret only.  Compiled TPU lowering
+    typechecks: the index maps are grid-only (ops/rspmv.py pre-gathers
+    x slabs inside shard_map precisely so no index map reads
+    device-varying tables)."""
+    return (kind not in ("routed", "wcoo")
+            or jax.default_backend() == "tpu")
+
+
 def init_distributed(**kwargs) -> None:
     """Multi-host process bootstrap (`jax.distributed.initialize`).
 

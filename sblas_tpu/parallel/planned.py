@@ -41,7 +41,7 @@ from ..ops.spmm import spmm_coo, spmm_ell
 from ..ops.spmv import spmv_coo, spmv_ell
 from ..partition import partition_row_blocks
 from ..utils.errors import PartitionError, ShapeError, require
-from .mesh import DEFAULT_AXIS
+from .mesh import DEFAULT_AXIS, vma_check_ok
 
 
 def _round_up(x: int, m: int) -> int:
@@ -259,7 +259,7 @@ def _mode2p_spmm_program(mesh: Mesh, axis: str, reduce: str, kind: str,
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(axis), P(), c_spec, P(), P()),
-        out_specs=c_spec))
+        out_specs=c_spec, check_vma=vma_check_ok(kind)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -287,14 +287,7 @@ def _mode2p_spmv_program(mesh: Mesh, axis: str, reduce: str, kind: str,
         fn, mesh=mesh,
         in_specs=(P(axis), P(), y_spec, P(), P()),
         out_specs=y_spec,
-        # routed kind runs Pallas kernels whose INTERPRET-mode block
-        # extraction (dynamic_slice by grid index) trips the vma checker
-        # on any grid>1 kernel over device-varying data — a pallas
-        # hlo_interpreter limitation, not an index-map soundness issue
-        # (the shard_map path pre-gathers slabs so every index map is
-        # grid-only; see ops/rspmv.py::_gathered_contrib).  Compiled TPU
-        # lowering typechecks, so the opt-out is scoped to interpret.
-        check_vma=(kind != "routed" or jax.default_backend() == "tpu")))
+        check_vma=vma_check_ok(kind)))
 
 
 def spmm_mode2_planned(shards: RowPlanShards, B, alpha, beta, C, mesh: Mesh,
@@ -358,14 +351,7 @@ def _mode2p_nocomm_program(mesh: Mesh, axis: str, kind: str, op: str):
     out = P(axis, None) if op == "spmm" else P(axis)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh, in_specs=(P(axis), P()), out_specs=out,
-        # routed kind runs Pallas kernels whose INTERPRET-mode block
-        # extraction (dynamic_slice by grid index) trips the vma checker
-        # on any grid>1 kernel over device-varying data — a pallas
-        # hlo_interpreter limitation, not an index-map soundness issue
-        # (the shard_map path pre-gathers slabs so every index map is
-        # grid-only; see ops/rspmv.py::_gathered_contrib).  Compiled TPU
-        # lowering typechecks, so the opt-out is scoped to interpret.
-        check_vma=(kind != "routed" or jax.default_backend() == "tpu")))
+        check_vma=vma_check_ok(kind)))
 
 
 def spmm_mode2_planned_nocomm(shards: RowPlanShards, B, mesh: Mesh,

@@ -65,7 +65,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import DEFAULT, SBlasConfig
 from ..containers import CsrMatrix
 from ..utils.errors import PartitionError, ShapeError, require
-from .mesh import DEFAULT_AXIS
+from .mesh import DEFAULT_AXIS, vma_check_ok
 from .planned import _local_spmv, _unstack, build_stacked_plans, \
     pick_shard_kind
 
@@ -439,14 +439,7 @@ def _xfoot_program(mesh: Mesh, axis: str, kind: str, hot_total: int,
         fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(), P()),
         out_specs=P(axis),
-        # routed kind runs Pallas kernels whose INTERPRET-mode block
-        # extraction (dynamic_slice by grid index) trips the vma checker
-        # on any grid>1 kernel over device-varying data — a pallas
-        # hlo_interpreter limitation, not an index-map soundness issue
-        # (the shard_map path pre-gathers slabs so every index map is
-        # grid-only; see ops/rspmv.py::_gathered_contrib).  Compiled TPU
-        # lowering typechecks, so the opt-out is scoped to interpret.
-        check_vma=(kind != "routed" or jax.default_backend() == "tpu")))
+        check_vma=vma_check_ok(kind)))
 
 
 def spmv_xfoot(shards: XFootShards, x, alpha, beta, y, mesh: Mesh,

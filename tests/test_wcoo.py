@@ -124,3 +124,44 @@ def test_empty_matrix():
     got = spmv_wcoo(plan, jnp.asarray(x.values), 3.0, 4.0,
                     jnp.asarray(y.values))
     np.testing.assert_allclose(np.asarray(got), 8.0)
+
+
+def test_fused_reduce_accumulation_runs():
+    """Many tiles per window: the fused Pallas reduce must accumulate
+    across a contiguous run of grid steps mapping to one output block
+    (small fixtures often have one tile per window and never exercise
+    the += path)."""
+    from sblas_tpu.containers import CooMatrix
+    rng = np.random.RandomState(3)
+    m, n, k = 256, 2048, 16
+    # all nnz inside rows [0, 128): ~40 tiles, all in one window
+    rows = rng.randint(0, 128, size=5000).astype(np.int64)
+    cols = rng.randint(0, n, size=5000).astype(np.int64)
+    vals = rng.random_sample(5000)
+    A = CooMatrix(rows, cols, vals, (m, n)).to_csr()
+    plan = WcooPlan.from_csr(A, dtype=jnp.float64)
+    assert plan.n_tiles > 3  # multiple tiles share the single window
+    B = DenseMatrix.random(A.width, k)
+    C = DenseMatrix.constant(A.height, k, 1.0)
+    got = spmm_wcoo(plan, jnp.asarray(B.values), 2.0, 3.0,
+                    jnp.asarray(C.values))
+    assert_equal(np.asarray(got), spmm_cpu(A, B, 2.0, 3.0, C))
+
+
+def test_fused_reduce_with_min_tiles_padding():
+    """Pad tiles (shared static dims in distributed/UM plans) anchor at
+    the last real window — a pad tile at window 0 would restart output
+    block 0 in the fused reduce and overwrite its content."""
+    A = uniform_random(512, 512, nnz_per_row=4, seed=6, dtype=np.float64)
+    base = WcooPlan.from_csr(A, dtype=jnp.float64)
+    padded = WcooPlan.from_csr(A, dtype=jnp.float64,
+                               min_tiles=base.n_tiles + 7)
+    B = DenseMatrix.random(A.width, 8)
+    C = DenseMatrix.constant(A.height, 8, 1.0)
+    a = spmm_wcoo(base, jnp.asarray(B.values), 2.0, 3.0,
+                  jnp.asarray(C.values))
+    b = spmm_wcoo(padded, jnp.asarray(B.values), 2.0, 3.0,
+                  jnp.asarray(C.values))
+    assert_equal(np.asarray(b), spmm_cpu(A, B, 2.0, 3.0, C))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
