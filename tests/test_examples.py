@@ -39,3 +39,18 @@ def test_pagerank():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Validation = True" in r.stdout
+
+
+def test_pagerank_dist():
+    """Distributed PageRank: xfoot steady state (sharded ranks, footprint
+    exchange only) on the virtual 8-device mesh."""
+    env = dict(os.environ)
+    env["SBLAS_FORCE_CPU_DEVICES"] = "1"
+    r = subprocess.run(
+        [sys.executable, "examples/pagerank_dist.py", "--n", "12000",
+         "--tol", "1e-8"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Validation = True" in r.stdout
+    assert "xfoot" in r.stdout
