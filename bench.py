@@ -218,7 +218,9 @@ def main() -> int:
     ms4 = loop_time_ms(lambda yc, p, xv:
                        spmv_routed(p, xv + 1e-6 * yc[0], 1.0, 1.0, yc),
                        yl4, iters=64, args=(lplan4, xl4))
-    comm4_ms = st4.comm_bytes(4) / 9e10 * 1e3 + st4.extract_ns * 1e-6
+    from sblas_tpu.scaling import ICI_BW_DEFAULT
+    comm4_ms = (st4.comm_bytes(4) / ICI_BW_DEFAULT * 1e3
+                + st4.extract_ns * 1e-6)
     eff_weak = ms_wbest / (ms4 + comm4_ms)
     print(f"# scaling[spmv] WEAK n=4 (1M rows/chip, 4M-row matrix): "
           f"shard {ms4:.3f} ms + comm {comm4_ms:.3f} ms -> "

@@ -46,6 +46,10 @@ def main() -> int:
         jax.config.update("jax_num_cpu_devices", max(args.devices, 1))
 
     import jax
+    # the example computes in f64 (tight tolerances on a probability
+    # vector); without x64 JAX silently truncates to f32 and the printed
+    # exchange bytes would overstate 2x
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
 

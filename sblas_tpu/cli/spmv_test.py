@@ -70,9 +70,22 @@ def main(argv=None) -> int:
 
     def cached(build):
         """Build-once/run-many: load the plan from --plan-cache when
-        present, else build and persist it."""
+        present, else build and persist it.  A loaded plan is bound to
+        THIS matrix/run: shape, nnz and (when sharded) the device count
+        must match, else the stale file is rejected loudly instead of
+        silently computing with the wrong operator."""
+        from ..utils.errors import FormatError
         if cache_path and os.path.exists(cache_path):
             obj = load_plan(cache_path)
+            if (tuple(obj.shape) != tuple(A.shape)
+                    or obj.nnz != A.nnz
+                    or getattr(obj, "n_shards", n) != n):
+                raise FormatError(
+                    f"plan cache {cache_path} was built for shape "
+                    f"{tuple(obj.shape)}/nnz {obj.nnz}/"
+                    f"{getattr(obj, 'n_shards', '-')} shards; this run "
+                    f"is {tuple(A.shape)}/{A.nnz}/{n} — delete the file "
+                    f"or point --plan-cache elsewhere")
             print(f"plan cache: loaded {cache_path}")
             return obj
         obj = build()

@@ -266,10 +266,14 @@ def spmv_wcoo(plan: WcooPlan, x: jax.Array, alpha, beta,
     return beta * y + alpha * ax
 
 
-# Per-K-chunk cap for spmm_wcoo (bounds the Pallas output buffers and
-# the gathered (T*TILE, kc) intermediate).  Tile-chunking via lax.scan is
-# NOT an option: any gather inside a scan lowers ~6x slower than the same
-# gather flat (measured v5e: 97.9 ms vs 15.7 ms for 3M B-row fetches).
+# Transient budget for spmm_wcoo, in ELEMENTS (~1 GB of f32): bounds the
+# gathered (T*TILE, kc) intermediate and the two (nb, 128, kc) Pallas
+# output buffers by scaling the K-chunk with the matrix size (a fixed
+# kc would build multi-GB transients on large-nnz x large-K cases).
+# Tile-chunking via lax.scan is NOT an option: any gather inside a scan
+# lowers ~6x slower than the same gather flat (measured v5e: 97.9 ms vs
+# 15.7 ms for 3M B-row fetches).
+_K_BUDGET_ELEMS = 256 * 1024 * 1024
 _K_CHUNK_MAX = 512
 
 
@@ -380,7 +384,9 @@ def spmm_wcoo(plan: WcooPlan, B: jax.Array, alpha, beta, C: jax.Array,
     cols = plan.xblk * 128 + plan.lane
     B_p = jnp.pad(B, ((0, n_pad - B.shape[0]), (0, 0)))
 
-    kc = k_chunk or min(k, _K_CHUNK_MAX)
+    T = plan.n_tiles
+    kc = k_chunk or max(min(k, _K_CHUNK_MAX,
+                            _K_BUDGET_ELEMS // max(T * TILE, 1)), 1)
     outs = []
     for k0 in range(0, k, kc):
         k1 = min(k0 + kc, k)

@@ -43,16 +43,22 @@ def vma_check_ok(kind: str) -> bool:
     """check_vma flag for shard_map programs running per-shard plan
     kernels of the given kind.
 
-    Pallas INTERPRET mode (the CPU test mesh) cannot typecheck grid>1
-    kernels over device-varying data — its own block extraction
-    dynamic-slices by grid index, and those indices carry no
-    varying-manual-axes — so kinds whose kernels are Pallas ("routed",
-    "wcoo") opt out under interpret only.  Compiled TPU lowering
-    typechecks: the index maps are grid-only (ops/rspmv.py pre-gathers
-    x slabs inside shard_map precisely so no index map reads
-    device-varying tables)."""
-    return (kind not in ("routed", "wcoo")
-            or jax.default_backend() == "tpu")
+    Two distinct opt-outs, both scoped as tightly as the tooling allows:
+
+    * Pallas INTERPRET mode (the CPU test mesh) cannot typecheck grid>1
+      kernels over device-varying data — its own block extraction
+      dynamic-slices by grid index, and those indices carry no
+      varying-manual-axes — so Pallas-kernel kinds ("routed", "wcoo")
+      opt out under interpret.
+    * "wcoo" also opts out on COMPILED TPU: the fused SpMM reduce's
+      output index maps read the device-varying wb prefetch table
+      (`lambda t, wb: (wb[t], 0, 0)`) — sound (every shard owns its own
+      output buffer) but unprovable for the checker.  "routed" does
+      typecheck compiled: its shard_map path pre-gathers x slabs so
+      every index map is grid-only (ops/rspmv.py)."""
+    if kind == "wcoo":
+        return False
+    return kind != "routed" or jax.default_backend() == "tpu"
 
 
 def init_distributed(**kwargs) -> None:

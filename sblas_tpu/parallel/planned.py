@@ -120,6 +120,23 @@ def pick_shard_kind(A: CsrMatrix, op: str = None,
     return "wcoo"
 
 
+def shared_routed_sizes(sizes):
+    """Element-wise maxima of per-shard `routed_shard_sizes` probes,
+    with the stack depth CORRECTED for the shared overflow appendix:
+    padding a shard's appendix up to the shared slot count adds
+    depth-1 pad blocks, so a shard whose natural stack was the deepest
+    but whose appendix was small can exceed the naive max-S probe
+    (observed: 513 vs 512 rows -> stacked-plan shape divergence)."""
+    tg = max(z[0] for z in sizes)
+    pr = max(z[2] for z in sizes)
+    sk = max(z[3] for z in sizes)
+    sk_blocks = _round_up(sk, 128) // 128 if sk else 0
+    sr = max(z[1] + (sk_blocks - (_round_up(z[3], 128) // 128
+                                  if z[3] else 0))
+             for z in sizes)
+    return tg, sr, pr, sk
+
+
 def build_stacked_plans(locals_, kind: str, band_rows: int, width: int,
                         nnz: int, dtype, config: SBlasConfig):
     """Per-shard fast plans over identically-shaped (band_rows, width)
@@ -135,7 +152,7 @@ def build_stacked_plans(locals_, kind: str, band_rows: int, width: int,
         # route-layer schedules — equal, so the plans tree-stack
         from ..ops.rspmv import RoutedPlan, routed_shard_sizes
         sizes = [routed_shard_sizes(sub, config) for sub in locals_]
-        tg, sr, pr, sk = (max(z[i] for z in sizes) for i in range(4))
+        tg, sr, pr, sk = shared_routed_sizes(sizes)
         plans = [dataclasses.replace(
             RoutedPlan.from_csr(sub, dtype=dtype, config=config,
                                 min_gtiles=tg, min_srows=sr, min_prows=pr,

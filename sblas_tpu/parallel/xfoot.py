@@ -118,26 +118,29 @@ def _xfoot_analyze(A: CsrMatrix, n_shards: int):
     `partition_xfoot` (table construction)."""
     from ..scaling import GATHER_NS, ROUTE_NS
     from ..ops.route import routable_size
+    from ..utils.errors import PlanError, require
     m, n = A.shape
+    require(max(m, n, A.nnz) < 2**31, PlanError,
+            "xfoot plans are int32-indexed")
     band_rows = _round_up(-(-m // n_shards) or 1, 128)
     r_x = _round_up(-(-n // n_shards) or 1, 128)
 
     # per-shard unique referenced columns + remote demand count q(c)
+    # (int32 throughout: this host pays ~14x for 64-bit random access)
     uniq_cols = []
     q = np.zeros(n, dtype=np.int32)
     for s in range(n_shards):
         r0, r1 = min(s * band_rows, m), min((s + 1) * band_rows, m)
         lo, hi = int(A.row_ptr[r0]), int(A.row_ptr[r1])
-        cols_s = np.unique(A.col_idx[lo:hi].astype(np.int64))
+        cols_s = np.unique(A.col_idx[lo:hi].astype(np.int32))
         uniq_cols.append(cols_s)
         remote = cols_s[(cols_s // r_x) != s]
         q[remote] += 1
 
     # hot = exact q>=2 set, owner-grouped (sorted col order groups owners
     # since ownership is by contiguous block)
-    hot_cols = np.flatnonzero(q >= 2).astype(np.int64)
+    hot_cols = np.flatnonzero(q >= 2).astype(np.int32)
     H_tot = len(hot_cols)
-    hot_pos = {}          # col -> position in hot buffer
     hot_own = np.zeros(n_shards, dtype=np.int64)   # cols owned per shard
     hot_off = np.zeros(n_shards, dtype=np.int64)   # owner segment start
     if H_tot:
@@ -147,9 +150,9 @@ def _xfoot_analyze(A: CsrMatrix, n_shards: int):
 
     def hot_lookup(cols):
         """-1 for non-hot, else position in the hot buffer."""
-        pos = np.full(len(cols), -1, dtype=np.int64)
+        pos = np.full(len(cols), -1, dtype=np.int32)
         if H_tot:
-            j = np.searchsorted(hot_cols, cols)
+            j = np.searchsorted(hot_cols, cols).astype(np.int32)
             jc = np.clip(j, 0, H_tot - 1)
             ok = hot_cols[jc] == cols
             pos[ok] = jc[ok]
@@ -225,7 +228,7 @@ def _remap_local(A: CsrMatrix, s: int, lay: dict) -> CsrMatrix:
     rp = np.concatenate([A.row_ptr[r0:r1 + 1] - lo,
                          np.full(band_rows - (r1 - r0), hi - lo,
                                  dtype=A.row_ptr.dtype)])
-    cols = A.col_idx[lo:hi].astype(np.int64)
+    cols = A.col_idx[lo:hi].astype(np.int32)
     owner = cols // r_x
     newc = np.empty_like(cols)
     own = owner == s
@@ -260,12 +263,12 @@ def xfoot_worst_local(A: CsrMatrix, n_shards: int):
     sizes and time it — that is exactly what every shard executes inside
     the shard_map program, so max-shard time + modeled exchange = t_n."""
     from ..ops.rspmv import routed_shard_sizes
+    from .planned import shared_routed_sizes
     lay = _xfoot_analyze(A, n_shards)
     locals_ = [_remap_local(A, s, lay) for s in range(n_shards)]
     sizes = [routed_shard_sizes(sub) for sub in locals_]
     worst = int(np.argmax([sub.nnz for sub in locals_]))
-    return locals_[worst], tuple(
-        max(z[i] for z in sizes) for i in range(4))
+    return locals_[worst], shared_routed_sizes(sizes)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -329,7 +332,12 @@ def partition_xfoot(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
     out_slots = Hmax + n_shards * Pp
     mode = extract or lay["stats"].extract_mode
     if mode != lay["stats"].extract_mode:
-        lay["stats"] = lay["stats"]._replace(extract_mode=mode)
+        # keep the stats' modeled time consistent with the forced engine
+        from ..scaling import GATHER_NS, ROUTE_NS
+        forced_ns = (GATHER_NS * out_slots if mode == "flat"
+                     else ROUTE_NS * lay["route_space"])
+        lay["stats"] = lay["stats"]._replace(extract_mode=mode,
+                                             extract_ns=forced_ns)
 
     # ---- extraction tables: local x -> [hot segment | packets] ----
     # owner t's hot contribution = its owned hot cols in buffer order

@@ -248,3 +248,33 @@ class TestStackCapSplit:
                                 jnp.asarray(y.values), make_mesh(8),
                                 reduce="psum")
         assert_equal(sync_to_host(got), spmv_cpu(A, x, 3.0, 4.0, y))
+
+
+def test_shared_routed_sizes_appendix_alignment():
+    """A deep-primary/no-overflow shard stacked with a shallow/overflow
+    shard: padding the first's appendix to the shared slot count adds
+    depth-1 pad blocks, so the naive max-S probe under-sizes the stack
+    and the plans diverge (found by round-3 code review; reproduced as a
+    ValueError in build_stacked_plans)."""
+    from sblas_tpu.containers import CooMatrix
+    from sblas_tpu.parallel.planned import build_stacked_plans
+    from sblas_tpu.config import SBlasConfig
+    rng = np.random.RandomState(4)
+    n = 4096
+    cfg = SBlasConfig(routed_stack_cap=256, routed_min_nnz=1,
+                      routed_min_width=1)
+
+    def mk(rows, deg):
+        r = np.repeat(np.arange(rows, dtype=np.int64), deg)
+        c = rng.randint(0, n, size=len(r)).astype(np.int64)
+        v = rng.random_sample(len(r))
+        return CooMatrix(r, c, v, (256, n)).to_csr()
+
+    deep = mk(256, 256)   # S=512, no overflow
+    over = mk(100, 257)   # shallow primary, overflow appendix
+    stacked, kind = build_stacked_plans([deep, over], "routed", 256, n,
+                                        deep.nnz + over.nnz, jnp.float64,
+                                        cfg)
+    assert kind == "routed"
+    # both shards now share one static stack depth
+    assert stacked.brow_ids.shape[0] == 2  # leading shard axis
