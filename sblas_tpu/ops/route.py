@@ -100,18 +100,33 @@ def _edge_color_py(src, dst, n_left, n_right, d):
     return colors
 
 
-def edge_color(src, dst, n_left, n_right, d) -> np.ndarray:
+def edge_color(src, dst, n_left, n_right, d, n_blocks: int = 1
+               ) -> np.ndarray:
     """d-regular bipartite edge coloring; native when available.
+
+    `n_blocks` > 1 declares the graph block-diagonal (contiguous edge
+    slices, contiguous node ranges per block) — each block colors as an
+    independent cache-resident subproblem (native/route.cpp).
 
     Gated on `native.available()` so the SBLAS_NO_NATIVE kill switch also
     disables route planning's native path (not just the .mtx parser)."""
     from ..io import native
     if native.available():
         try:
-            return native.edge_color(src, dst, n_left, n_right, d)
+            return native.edge_color(src, dst, n_left, n_right, d,
+                                     n_blocks=n_blocks)
         except RuntimeError:
             pass
-    return _edge_color_py(src, dst, n_left, n_right, d)
+    if n_blocks <= 1:
+        return _edge_color_py(src, dst, n_left, n_right, d)
+    npb_l, npb_r = n_left // n_blocks, n_right // n_blocks
+    epb = len(src) // n_blocks
+    out = np.empty(len(src), dtype=np.int32)
+    for b in range(n_blocks):
+        sl = slice(b * epb, (b + 1) * epb)
+        out[sl] = _edge_color_py(src[sl] - b * npb_l, dst[sl] - b * npb_r,
+                                 npb_l, npb_r, d)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +221,19 @@ def build_route(perm: np.ndarray) -> RouteProgram:
 
     def rec(p: np.ndarray, bs: int):
         """Emit layers realizing out[i] = cur[p[i]] where p permutes within
-        independent blocks of size bs (N/bs blocks)."""
+        independent blocks of size bs (N/bs blocks).
+
+        Host-side cost note: the statements here run over N-sized int32
+        arrays on a single core that pays ~14x for random access, so the
+        layout below avoids random scatters wherever an equivalent
+        streaming form exists (the `q` construction is a pure per-block
+        transpose; the one irreducible permutation scatter, `idx1`, goes
+        through the bucketed `native.scatter`).  Integer division is
+        scalar (unvectorized) in numpy — every `// A` / `% A` on a full
+        N array below is replaced by a shift (LANES is a power of two)
+        or by the block-local identity blk(rho[rd, c]) == rd // A (the
+        permutation never crosses bs-blocks), which needs only an
+        (R, 1)-sized division."""
         if bs <= LANES:
             if bs == 1:
                 return
@@ -214,34 +241,44 @@ def build_route(perm: np.ndarray) -> RouteProgram:
             # two), so blocks never straddle a lane row and the whole
             # level is one row-local lane shuffle
             R = len(p) // LANES
-            rows = np.arange(len(p), dtype=np.int32) // LANES
-            assert np.array_equal(p // LANES, rows), "non-row-local base"
-            emit_gather((p % LANES).reshape(R, LANES))
+            rows = np.repeat(np.arange(R, dtype=np.int32), LANES)
+            assert np.array_equal(p >> 7, rows), "non-row-local base"
+            emit_gather((p & (LANES - 1)).reshape(R, LANES))
             return
 
+        from ..io import native
         A = bs // LANES           # grid rows per block
         R = len(p) // LANES       # total grid rows
         src = p
         # edges: one per destination element; rows in the (R, 128) grid
-        src_row = src // LANES
-        dst_row = np.arange(len(p), dtype=np.int32) // LANES
-        color = edge_color(src_row, dst_row, R, R, LANES)
+        src_row = src >> 7        # // LANES
+        dst_row = np.repeat(np.arange(R, dtype=np.int32), LANES)
+        # every level below the top permutes within independent bs-blocks:
+        # block b owns edges [b*bs, (b+1)*bs) and rows [b*A, (b+1)*A) on
+        # both sides, so its whole coloring problem is cache-resident
+        color = edge_color(src_row, dst_row, R, R, LANES,
+                           n_blocks=len(p) // bs)
 
         # stage 1: lane shuffle on source rows: out1[r, c] = in[r, ls(r, c)]
         idx1 = np.empty(len(p), dtype=np.int32)
-        idx1[src_row * LANES + color] = src % LANES
+        native.scatter(idx1, src_row * LANES + color, src & (LANES - 1))
         emit_gather(idx1.reshape(R, LANES))
 
         # middle: per-lane row perm rho: out2[rd, c] = out1[rho(rd, c), c]
+        # (dst_row*LANES+color is row-local — within row i//128 at lane
+        # color[i] — so this scatter streams; no bucketing needed)
         rho = np.empty(len(p), dtype=np.int32)
         rho[dst_row * LANES + color] = src_row
         rho = rho.reshape(R, LANES)
         n_blocks = len(p) // bs
+        # block id of every row in rho's row rd is rd // A (block-local
+        # permutation), so the per-element `// A` collapses to (R, 1)
+        rd_blk = np.arange(R, dtype=np.int32)[:, None] // A
 
         if A <= _MIX_MAX_A:
             # small blocks: transpose would make an A-wide minor dim —
             # emit the A-way select chain instead and stop recursing
-            rho_local = rho % A  # row within block (blocks are A-aligned)
+            rho_local = rho - rd_blk * A  # == rho % A without the division
             ops.append(("mix",
                         np.ascontiguousarray(rho_local, dtype=np.int32), A))
             idx3 = color.reshape(R, LANES)
@@ -253,15 +290,21 @@ def build_route(perm: np.ndarray) -> RouteProgram:
         emit_vt((n_blocks, A, LANES), (0, 2, 1))
         # transposed flat index of (block, row a, lane c):
         #   block*bs + c*A + a   (row a within block: global row = block*A+a)
-        rd = np.arange(R, dtype=np.int32)[:, None]
-        c = np.arange(LANES, dtype=np.int32)[None, :]
-        q = np.empty(len(p), dtype=np.int32)
         # destination (rd, c) pulls from (rho[rd, c], c): in transposed flat
         # coords: dst_t = (rd//A)*bs + c*A + (rd % A)
         #         src_t = (rho//A)*bs + c*A + (rho % A)
-        dst_t = ((rd // A) * bs + c * A + (rd % A)).ravel()
-        src_t = ((rho // A) * bs + c * A + (rho % A)).ravel()
-        q[dst_t] = src_t
+        # q[dst_t] = src_t is, viewed per block, exactly the (A, 128) ->
+        # (128, A) transpose of src_t — no scatter needed; src_t is
+        # assembled with in-place ops (each full-N temp here costs real
+        # page-fault time at stress scale) and rho//A == rd//A spares the
+        # element-wise division
+        c = np.arange(LANES, dtype=np.int32)[None, :]
+        src_t = np.subtract(rho, rd_blk * A)      # rho % A, streaming
+        np.add(src_t, rd_blk * bs, out=src_t)     # + (rho // A) * bs
+        np.add(src_t, c * A, out=src_t)
+        q = np.ascontiguousarray(
+            src_t.reshape(n_blocks, A, LANES).transpose(0, 2, 1)
+        ).reshape(-1)
         # per-lane row perms stay within (block, lane) runs of length A ==
         # new block size
         rec(q, A)

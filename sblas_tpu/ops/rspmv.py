@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 
 from ..config import DEFAULT, SBlasConfig
 from ..containers import CsrMatrix
+from ..io import native
 from .route import LANES, apply_route, build_route, routable_size
 
 SLAB = 128 * 128     # x window served by one gather tile
@@ -82,7 +83,7 @@ def _balanced_relabel(n: int, res_cols: np.ndarray):
     b = np.where(cycle % 2 == 0, pos, B - 1 - pos)
     slot = (b * LANES + cycle).astype(np.int32)
     pi = np.empty(n, dtype=np.int32)
-    pi[order] = slot
+    native.scatter(pi, order, slot)
     return pi, n_slabs
 
 
@@ -106,7 +107,7 @@ def _gather_layout(cols: np.ndarray, nnz: int, n_slabs_min: int = 0):
     tile_of = tile_base[key_s // LANES] + pos // LANES
     gslot_s = tile_of * SLAB + (key_s % LANES) * LANES + pos % LANES
     gslot = np.empty(nnz, dtype=np.int32)
-    gslot[order] = gslot_s
+    native.scatter(gslot, order, gslot_s)
     return gslot, tiles_per_slab, n_slabs
 
 
@@ -136,7 +137,7 @@ def _stack_layout(A: CsrMatrix, cap: int = 0, min_extras: int = 0):
     deg = A.row_nnz.astype(np.int64)
     rank_order = np.argsort(-deg, kind="stable").astype(np.int32)
     rank = np.empty(m, dtype=np.int32)
-    rank[rank_order] = np.arange(m, dtype=np.int32)
+    native.scatter(rank, rank_order, np.arange(m, dtype=np.int32))
     m_pad = _round_up(max(m, 1), LANES)
 
     cap = int(cap) if cap and cap >= 1 else 0
@@ -243,7 +244,7 @@ def _peel_layout(pcols: np.ndarray, pvals_in: np.ndarray):
     R_p = int(row_base[-1])
     prow_col = np.repeat(uniq.astype(np.int32), rows_per_col)
     pvals = np.zeros(R_p * LANES, dtype=pvals_in.dtype)
-    pvals[pslot] = pvals_in[order]
+    native.scatter(pvals, pslot, pvals_in[order])
     return pslot, order, prow_col, pvals, R_p
 
 
@@ -394,7 +395,7 @@ class RoutedPlan:
             p_cols = pi[res_cols]
             N_x = routable_size(n_slabs_x * SLAB)
             perm_x = np.full(N_x, -1, dtype=np.int32)
-            perm_x[pi] = np.arange(n, dtype=np.int32)
+            native.scatter(perm_x, pi, np.arange(n, dtype=np.int32))
             perm_x[perm_x < 0] = np.arange(n, N_x, dtype=np.int32)
             progx = build_route(perm_x)
         else:
@@ -407,8 +408,8 @@ class RoutedPlan:
 
         gidx = np.zeros(T_g * SLAB, dtype=np.int32)
         gvals = np.zeros(T_g * SLAB, dtype=np_val)
-        gidx[gslot_res] = (p_cols % LANES).astype(np.int32)
-        gvals[gslot_res] = vals_np[res_idx]
+        native.scatter(gidx, gslot_res, (p_cols % LANES).astype(np.int32))
+        native.scatter(gvals, gslot_res, vals_np[res_idx])
         gslab_arr = np.repeat(
             np.arange(n_slabs, dtype=np.int32), tiles_per_slab)
         gslab_arr = np.pad(gslab_arr, (0, T_g - len(gslab_arr)))
@@ -427,7 +428,8 @@ class RoutedPlan:
         # global source slots: [gather space | peeled space]
         gslot = np.empty(nnz, dtype=np.int32)
         gslot[res_idx] = gslot_res
-        gslot[pe_idx[p_order]] = (T_g * SLAB + pslot).astype(np.int32)
+        native.scatter(gslot, pe_idx[p_order],
+                       (T_g * SLAB + pslot).astype(np.int32))
 
         # ---- reduce layout: capped lane stack with heavy-row overflow
         # appendix (see _stack_layout) ----
@@ -455,9 +457,9 @@ class RoutedPlan:
         # ---- route 1: [gather | peeled] order -> lane-stack order ----
         N = routable_size(max(T_g * SLAB + R_p * LANES, S * LANES))
         perm = np.full(N, -1, dtype=np.int32)
-        perm[rslot] = gslot
+        native.scatter(perm, rslot, gslot)
         src_used = np.zeros(N, dtype=bool)
-        src_used[gslot] = True
+        native.scatter(src_used, gslot, True)
         perm[perm < 0] = np.flatnonzero(~src_used).astype(np.int32)
         prog = build_route(perm)
 
