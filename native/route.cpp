@@ -141,7 +141,12 @@ struct Slot {
 
 constexpr uint32_t kVisited = 1u, kSplitter = 4u;
 constexpr int kSegShift = 8;
-constexpr int64_t kFastMin = 1 << 20;  // below this the serial walk wins
+// Below this edge count the serial walk wins (the interleaved machinery's
+// segment bookkeeping costs more than the misses it overlaps).  Tests
+// override via SBLAS_COLOR_FASTMIN to exercise the fast path at small
+// scale; re-read per coloring call so a monkeypatched env takes effect.
+constexpr int64_t kFastMinDefault = 1 << 20;
+int64_t g_fast_min = kFastMinDefault;
 constexpr int kLanes = 24;             // concurrent chase chains
 
 struct Segment {
@@ -343,8 +348,7 @@ int color_one(int32_t n_left, int32_t n_right, int64_t ne, int32_t d,
     for (size_t g = 0; g + 1 < offs.size(); ++g) {
       const int64_t off = offs[g], len = offs[g + 1] - offs[g];
       if (len > 0) {
-        static const bool force_serial = getenv("SBLAS_COLOR_SERIAL");
-        if (len < kFastMin || force_serial ||
+        if (len < g_fast_min || getenv("SBLAS_COLOR_SERIAL") ||
             !fast_halve(w.lsrc.data() + off, w.ldst.data() + off, n_left,
                         n_nodes, len, w.ub_k.data(), w.head, w.ptr,
                         w.slots, w.segs))
@@ -406,6 +410,8 @@ int sblas_edge_color_blocked(int32_t n_blocks, int32_t npb_left,
                              int32_t* color_out) {
   if (d <= 0 || (d & (d - 1)) != 0) return 1;
   if (n_blocks <= 0) return 2;
+  const char* fm = getenv("SBLAS_COLOR_FASTMIN");
+  g_fast_min = fm ? atoll(fm) : kFastMinDefault;
   const int64_t ne = (int64_t)n_blocks * epb;
   if (epb != (int64_t)npb_left * d || epb != (int64_t)npb_right * d)
     return 2;

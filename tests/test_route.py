@@ -76,6 +76,38 @@ def test_route_identity_and_reversal(rng):
     assert np.array_equal(apply_route_np(prog_r, x), x[::-1])
 
 
+def test_fast_halve_coloring_is_proper(rng, monkeypatch):
+    """The interleaved pairing-cycle walk (native fast path) normally only
+    engages above ~1M edges; SBLAS_COLOR_FASTMIN=1 forces it for every
+    group so its validity is CI-covered, including the phase-1 race and
+    self-mirror serial fallbacks at small scale."""
+    from sblas_tpu.io import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("SBLAS_COLOR_FASTMIN", "1")
+    for n_nodes, d in [(4, 2), (37, 16), (100, 128), (513, 64)]:
+        src, dst = _regular_multigraph(rng, n_nodes, d)
+        colors = native.edge_color(src, dst, n_nodes, n_nodes, d)
+        assert len(np.unique(src.astype(np.int64) * d + colors)) == n_nodes * d
+        assert len(np.unique(dst.astype(np.int64) * d + colors)) == n_nodes * d
+        assert colors.min() >= 0 and colors.max() < d
+
+
+@pytest.mark.parametrize("n", [300, 16384, 40000])
+def test_route_correct_under_forced_fast_halve(rng, n, monkeypatch):
+    """End-to-end route built with the fast-path coloring forced on for
+    every block still computes out[i] = in[perm[i]] (exercises the blocked
+    entry point + fast_halve together)."""
+    from sblas_tpu.io import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("SBLAS_COLOR_FASTMIN", "1")
+    perm = rng.permutation(n)
+    prog = build_route(perm)
+    x = rng.random(n).astype(np.float32)
+    assert np.array_equal(apply_route_np(prog, x), x[perm])
+
+
 def test_edge_color_honors_no_native_env(monkeypatch):
     """SBLAS_NO_NATIVE=1 must route edge coloring through the pure-python
     path (ADVICE r1: route.py bypassed the kill switch)."""
