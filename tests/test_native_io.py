@@ -100,3 +100,31 @@ def test_native_malformed_falls_back(tmp_path):
     from sblas_tpu.utils.errors import FormatError
     with pytest.raises(FormatError):
         mmio.read_coo(str(p))
+
+
+@pytest.mark.parametrize("dtype", [np.int32, np.float32, np.float64, np.int8])
+def test_native_scatter_bucketed_matches_numpy(dtype):
+    """Exercise the radix-bucketed branch of native.scatter (only engages
+    above 2^18 elements), including duplicate addresses: the bucketing is
+    stable within buckets so numpy's last-write-wins order must hold."""
+    from sblas_tpu.io import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(3)
+    n_out = 1 << 19
+    ne = n_out + 1024  # > n_out forces duplicates
+    addr = rng.randint(0, n_out, ne).astype(np.int32)
+    vals = (rng.randn(ne) * 100).astype(dtype)
+    expect = np.zeros(n_out, dtype=dtype)
+    expect[addr] = vals
+    got = native.scatter(np.zeros(n_out, dtype=dtype), addr, vals)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_native_scatter_scalar_broadcast():
+    """Scalar vals broadcast across all addresses (used by the planners to
+    flag-fill)."""
+    from sblas_tpu.io import native
+    out = np.zeros(1000, dtype=np.int32)
+    native.scatter(out, np.array([3, 997], dtype=np.int32), 7)
+    assert out[3] == 7 and out[997] == 7 and out.sum() == 14
