@@ -44,7 +44,7 @@ from ..parallel.planned import _row_boundaries
 from ..utils.errors import PartitionError, ShapeError, require
 from .host import (_INFLIGHT, _UNROLL_MAX_BANDS, _band_matmul,
                    _band_matvec, _choose_band_kind, _host_sharding,
-                   build_band_plan, probe_band_dims)
+                   _stream_chunk, build_band_plan, probe_band_dims)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -183,15 +183,20 @@ def _um_dist_spmv_program(mesh: Mesh, axis: str, kind: str, m: int,
     m_full = _round_up(m + band_rows, nd * 128)
 
     def fn(stacked, offs, x, y, alpha, beta):
-        # per-device leaves: (n_bands, 1, ...); offs (n_bands, 1, 1).
-        # UNROLLED over bands up to the cap: gathers inside lax.scan lower
-        # ~6x slower than flat, but the unrolled program is linear in band
-        # count and very large programs fail the compile tunnel (413) —
-        # above the cap the scan keeps program size O(1)
-        n_bands = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        # per-device leaves: (n_bands, 1, ...); offs (n_bands, 1, 1) — OR,
+        # for a streaming chunk, `stacked` is a TUPLE of per-band pytrees
+        # with leaves (1, 1, ...) so `_stream_chunk()` bands share one
+        # dispatch (and one psum).  UNROLLED over bands up to the cap:
+        # gathers inside lax.scan lower ~6x slower than flat, but the
+        # unrolled program is linear in band count and very large programs
+        # fail the compile tunnel (413) — above the cap the scan keeps
+        # program size O(1)
+        chunked = isinstance(stacked, tuple)
+        n_bands = (len(stacked) if chunked
+                   else jax.tree_util.tree_leaves(stacked)[0].shape[0])
         partial = _match_vma(jnp.zeros(m_full, x.dtype),
                              *jax.tree_util.tree_leaves(stacked))
-        if n_bands > _UNROLL_MAX_BANDS:
+        if not chunked and n_bands > _UNROLL_MAX_BANDS:
             def step(part, band):
                 plans, off = band
                 plan = jax.tree_util.tree_map(lambda a: a[0], plans)
@@ -203,7 +208,9 @@ def _um_dist_spmv_program(mesh: Mesh, axis: str, kind: str, m: int,
             partial, _ = lax.scan(step, partial, (stacked, offs[:, 0, 0]))
         else:
             for b in range(n_bands):
-                plan = jax.tree_util.tree_map(lambda a: a[b, 0], stacked)
+                plan = jax.tree_util.tree_map(
+                    lambda a: a[0, 0] if chunked else a[b, 0],
+                    stacked[b] if chunked else stacked)
                 local = _band_matvec(kind, plan, x).astype(partial.dtype)
                 off = offs[b, 0, 0]
                 win = lax.dynamic_slice(partial, (off,), (band_rows,))
@@ -224,12 +231,14 @@ def _um_dist_spmm_program(mesh: Mesh, axis: str, kind: str, m: int,
     m_full = _round_up(m + band_rows, nd * 128)
 
     def fn(stacked, offs, B, C, alpha, beta):
-        # unrolled over bands with the same scan fallback — see the SpMV
-        # program
-        n_bands = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        # unrolled over bands with the same scan fallback and tuple-chunk
+        # form — see the SpMV program
+        chunked = isinstance(stacked, tuple)
+        n_bands = (len(stacked) if chunked
+                   else jax.tree_util.tree_leaves(stacked)[0].shape[0])
         partial = _match_vma(jnp.zeros((m_full, B.shape[1]), B.dtype),
                              *jax.tree_util.tree_leaves(stacked))
-        if n_bands > _UNROLL_MAX_BANDS:
+        if not chunked and n_bands > _UNROLL_MAX_BANDS:
             def step(part, band):
                 plans, off = band
                 plan = jax.tree_util.tree_map(lambda a: a[0], plans)
@@ -243,7 +252,9 @@ def _um_dist_spmm_program(mesh: Mesh, axis: str, kind: str, m: int,
             partial, _ = lax.scan(step, partial, (stacked, offs[:, 0, 0]))
         else:
             for b in range(n_bands):
-                plan = jax.tree_util.tree_map(lambda a: a[b, 0], stacked)
+                plan = jax.tree_util.tree_map(
+                    lambda a: a[0, 0] if chunked else a[b, 0],
+                    stacked[b] if chunked else stacked)
                 local = _band_matmul(kind, plan, B).astype(partial.dtype)
                 off = offs[b, 0, 0]
                 z = jnp.zeros((), off.dtype)
@@ -261,8 +272,12 @@ def _um_dist_spmm_program(mesh: Mesh, axis: str, kind: str, m: int,
 
 @functools.lru_cache(maxsize=None)
 def _um_mode1_program(mesh: Mesh, axis: str, kind: str):
-    def fn(plan, B_blk, alpha):
-        return alpha * _band_matmul(kind, plan, B_blk)
+    # `plans` is a TUPLE of band pytrees: a streaming chunk of
+    # `_stream_chunk()` bands runs in one dispatch (jit retraces per
+    # tuple length, so at most two programs exist: full chunk + tail)
+    def fn(plans, B_blk, alpha):
+        return alpha * jnp.concatenate(
+            [_band_matmul(kind, p, B_blk) for p in plans], axis=0)
 
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
@@ -275,26 +290,34 @@ def _um_mode1_program(mesh: Mesh, axis: str, kind: str):
 # ---------------------------------------------------------------------------
 
 def _band_slices(hs: HostResidentShards, mesh: Mesh, axis: str):
-    """Per-dispatch operands for one band: (stacked plan with a leading
-    n_bands=1 axis on device, offsets) — streamed (async device_put from
-    pinned host) or served from the tuned prefetch."""
+    """Per-dispatch operands: (bands, offsets) where `bands` is a TUPLE of
+    `_stream_chunk()` per-band plan pytrees (each with a leading
+    n_bands=1 axis on device) and `offsets` covers the chunk — streamed
+    (async device_put from pinned host) or served from the tuned
+    prefetch.  One dispatch (and one psum) serves the whole chunk."""
+    G = _stream_chunk()
+    offs_spec = NamedSharding(mesh, P(None, axis, None))
     if hs.tuned:
         stacked, offs = hs._device
-        for b in range(hs.n_bands):
-            yield (jax.tree_util.tree_map(lambda a: a[b:b + 1], stacked),
-                   offs[b:b + 1])
+        for c0 in range(0, hs.n_bands, G):
+            hi = min(c0 + G, hs.n_bands)
+            yield (tuple(jax.tree_util.tree_map(lambda a: a[b:b + 1],
+                                                stacked)
+                         for b in range(c0, hi)),
+                   offs[c0:hi])
         return
     spec = NamedSharding(mesh, P(None, axis), memory_kind="device")
-    offs_spec = NamedSharding(mesh, P(None, axis, None))
     pending = []
-    for b in range(hs.n_bands):
-        band = jax.device_put(hs.bands[b], spec)
+    for c0 in range(0, hs.n_bands, G):
+        hi = min(c0 + G, hs.n_bands)
+        bands = tuple(jax.device_put(hs.bands[b], spec)
+                      for b in range(c0, hi))
         offs = jax.device_put(
-            jnp.asarray(hs.offsets[b:b + 1, :, None], jnp.int32), offs_spec)
-        pending.append(band)
+            jnp.asarray(hs.offsets[c0:hi, :, None], jnp.int32), offs_spec)
+        pending.append(bands)
         if len(pending) > _INFLIGHT:
             jax.block_until_ready(pending.pop(0))
-        yield band, offs
+        yield bands, offs
 
 
 def spmv_um_dist(hs: HostResidentShards, x, alpha, beta, y, mesh: Mesh,
@@ -356,17 +379,19 @@ def spmm_um_mode1(hp, B, alpha, beta, C, mesh: Mesh,
     rep = NamedSharding(mesh, P(), memory_kind="device")
     # tuning=True prefetches every band replicated across the mesh before
     # the compute loop (applyGpuTuning analog); tuning=False streams with a
-    # bounded in-flight window
+    # bounded in-flight window, `_stream_chunk()` bands per dispatch
     dev_bands = ([jax.device_put(b, rep) for b in hp.bands]
                  if tuning else None)
     if tuning:
         jax.block_until_ready(dev_bands)
+    G = _stream_chunk()
     parts = []
     pending = []
-    for i in range(hp.n_bands):
-        band = (dev_bands[i] if tuning
-                else jax.device_put(hp.bands[i], rep))
-        parts.append(prog(band, B_p, alpha))
+    for c0 in range(0, hp.n_bands, G):
+        chunk = tuple(
+            dev_bands[i] if tuning else jax.device_put(hp.bands[i], rep)
+            for i in range(c0, min(c0 + G, hp.n_bands)))
+        parts.append(prog(chunk, B_p, alpha))
         pending.append(parts[-1])
         if len(pending) > _INFLIGHT:
             jax.block_until_ready(pending.pop(0))

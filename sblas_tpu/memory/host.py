@@ -28,6 +28,7 @@ stream on demand — the reference's fault-driven mode, minus the faults.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import List, Optional
 
@@ -47,6 +48,18 @@ from ..utils.errors import PartitionError
 # Bands kept in flight during streaming (band i+2 transfers while band i
 # computes — the double-buffer depth of the reference's prefetch pipeline).
 _INFLIGHT = 3
+
+
+def _stream_chunk() -> int:
+    """Bands batched into ONE dispatch during untuned streaming.
+
+    Each streamed band normally costs one program dispatch (~30 ms host
+    overhead on the remote attachment, CLAUDE.md); grouping G bands per
+    dispatch divides that count by G at the price of a G-band-resident
+    HBM window and a larger compiled program (compile-tunnel 413 risk
+    bounds G).  Read per call so tests and benchmarks can set it; the
+    default stays 1 until the dispatch saving is measured on hardware."""
+    return max(int(os.environ.get("SBLAS_STREAM_CHUNK", "1")), 1)
 
 # Windowed-COO band fallback: if tile-splitting stores more than this many
 # slots per true nnz across all bands, plain COO bands stream less data.
@@ -315,24 +328,39 @@ def _band_matvec(kind: str, band_plan, x):
     return fn(band_plan, x, 1.0, 0.0, z)
 
 
-def _stream(hplan: HostResidentPlan, band_op):
-    """Run `band_op` over all bands with a bounded in-flight window.
+def _stream(hplan: HostResidentPlan, chunk_op):
+    """Run `chunk_op` (a jitted function of a TUPLE of device bands) over
+    all bands with a bounded in-flight window.
 
-    Untuned mode pipelines host->HBM DMA of band i+_INFLIGHT-1 with the
-    compute of band i (JAX async dispatch does the overlap).  The
+    Untuned mode pipelines host->HBM DMA of the next window with the
+    compute of the current one (JAX async dispatch does the overlap), in
+    groups of `_stream_chunk()` bands per dispatch.  The
     block_until_ready pacing bounds how far the HOST runs ahead; on
     attachments where it returns at enqueue time rather than completion
-    the device-side window can transiently exceed _INFLIGHT bands, so the
-    HBM budget is a strong target, not a hard cap."""
+    the device-side window can transiently exceed _INFLIGHT chunks, so
+    the HBM budget is a strong target, not a hard cap."""
+    G = _stream_chunk()
     parts = []
     pending = []
-    for i in range(hplan.n_bands):
-        dev_band = hplan.band_device(i)
-        parts.append(band_op(dev_band))
+    for c0 in range(0, hplan.n_bands, G):
+        chunk = tuple(hplan.band_device(i)
+                      for i in range(c0, min(c0 + G, hplan.n_bands)))
+        parts.append(chunk_op(chunk))
         pending.append(parts[-1])
         if len(pending) >= _INFLIGHT:
             jax.block_until_ready(pending.pop(0))
     return parts
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def _chunk_matmul(kind, bands, B):
+    return jnp.concatenate([_band_matmul(kind, b, B) for b in bands],
+                           axis=0)
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def _chunk_matvec(kind, bands, x):
+    return jnp.concatenate([_band_matvec(kind, b, x) for b in bands])
 
 
 def _stacked_bands(hplan: HostResidentPlan):
@@ -400,7 +428,7 @@ def spmm_um(hplan: HostResidentPlan, B, alpha, beta, C,
         hplan.apply_gpu_tuning()
         return _spmm_tuned(hplan.kind, _stacked_bands(hplan), B,
                            alpha, beta, C, hplan.shape[0])
-    parts = _stream(hplan, lambda band: _band_matmul(hplan.kind, band, B))
+    parts = _stream(hplan, lambda bands: _chunk_matmul(hplan.kind, bands, B))
     ab = jnp.concatenate(parts, axis=0)[: hplan.shape[0]]
     return beta * C + alpha * ab
 
@@ -413,6 +441,6 @@ def spmv_um(hplan: HostResidentPlan, x, alpha, beta, y,
         hplan.apply_gpu_tuning()
         return _spmv_tuned(hplan.kind, _stacked_bands(hplan), x,
                            alpha, beta, y, hplan.shape[0])
-    parts = _stream(hplan, lambda band: _band_matvec(hplan.kind, band, x))
+    parts = _stream(hplan, lambda bands: _chunk_matvec(hplan.kind, bands, x))
     ax = jnp.concatenate(parts)[: hplan.shape[0]]
     return beta * y + alpha * ax

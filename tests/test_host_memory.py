@@ -167,3 +167,25 @@ def test_many_bands_scan_fallback(tuning):
     got = spmv_um(hp, jnp.asarray(x.values), 2.0, 3.0,
                   jnp.asarray(y.values), tuning=tuning)
     assert_equal(np.asarray(got), spmv_cpu(A, x, 2.0, 3.0, y))
+
+
+@pytest.mark.parametrize("chunk", ["2", "5"])
+def test_um_stream_chunking_single_chip(banded, chunk, monkeypatch):
+    """Untuned single-chip streaming with G bands per dispatch matches the
+    oracle for ragged and even chunkings."""
+    import jax.numpy as jnp
+    from sblas_tpu.memory import host_resident_plan, spmm_um, spmv_um
+    monkeypatch.setenv("SBLAS_STREAM_CHUNK", chunk)
+    hp = host_resident_plan(banded, dtype=jnp.float64,
+                            hbm_budget_bytes=128 << 10)
+    assert hp.n_bands > 1
+    x = DenseVector.random(banded.width)
+    y = DenseVector.constant(banded.height, 1.0)
+    got = np.asarray(spmv_um(hp, jnp.asarray(x.values), 3.0, 4.0,
+                             jnp.asarray(y.values)))
+    assert_equal(got, spmv_cpu(banded, x, 3.0, 4.0, y))
+    B = DenseMatrix.random(banded.width, 8)
+    C = DenseMatrix.constant(banded.height, 8, 1.0)
+    got = np.asarray(spmm_um(hp, jnp.asarray(B.values), 3.0, 4.0,
+                             jnp.asarray(C.values)))
+    assert_equal(got, spmm_cpu(banded, B, 3.0, 4.0, C))

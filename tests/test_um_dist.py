@@ -128,3 +128,38 @@ def test_um_dist_bands_on_host(mesh, weblike):
     for band in hs.bands:
         for leaf in jax.tree.leaves(band):
             assert leaf.sharding.memory_kind == "pinned_host"
+
+
+@pytest.mark.parametrize("chunk", ["2", "3", "16"])
+def test_um_dist_stream_chunking(mesh, banded, chunk, monkeypatch):
+    """SBLAS_STREAM_CHUNK batches G bands per dispatch (and per psum) in
+    the untuned streams; results must be identical for any G, including
+    G larger than n_bands and a ragged tail."""
+    monkeypatch.setenv("SBLAS_STREAM_CHUNK", chunk)
+    hs = host_resident_shards(banded, N_DEV, dtype=jnp.float64,
+                              hbm_budget_bytes=128 << 10)
+    assert hs.n_bands > 1
+    x = DenseVector.random(banded.width)
+    y = DenseVector.constant(banded.height, 1.0)
+    got = sync_to_host(spmv_um_dist(
+        hs, jnp.asarray(x.values), 3.0, 4.0, jnp.asarray(y.values), mesh))
+    assert_equal(got, spmv_cpu(banded, x, 3.0, 4.0, y))
+
+    B = DenseMatrix.random(banded.width, 8)
+    C = DenseMatrix.constant(banded.height, 8, 1.0)
+    got = sync_to_host(spmm_um_dist(
+        hs, jnp.asarray(B.values), 3.0, 4.0, jnp.asarray(C.values), mesh))
+    assert_equal(got, spmm_cpu(banded, B, 3.0, 4.0, C))
+
+
+@pytest.mark.parametrize("chunk", ["3"])
+def test_um_mode1_stream_chunking(mesh, banded, chunk, monkeypatch):
+    monkeypatch.setenv("SBLAS_STREAM_CHUNK", chunk)
+    hp = host_resident_plan(banded, dtype=jnp.float64,
+                            hbm_budget_bytes=128 << 10)
+    assert hp.n_bands > 1
+    B = DenseMatrix.random(banded.width, 16)
+    C = DenseMatrix.constant(banded.height, 16, 1.0)
+    got = sync_to_host(spmm_um_mode1(
+        hp, jnp.asarray(B.values), 3.0, 4.0, jnp.asarray(C.values), mesh))
+    assert_equal(got, spmm_cpu(banded, B, 3.0, 4.0, C))
