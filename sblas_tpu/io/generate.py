@@ -189,3 +189,62 @@ def adversarial_skew(m: int = 4096, n: int = 4096, heavy_rows: int = 4,
     cols = rng.randint(0, n, size=len(rows)).astype(np.int64)
     vals = rng.random_sample(len(rows)).astype(dtype)
     return _dedupe(m, n, rows, cols, rng, vals)
+
+
+def structure_stats(A: CsrMatrix) -> dict:
+    """Structural fingerprint of a sparse matrix, for proxy validation.
+
+    The headline numbers ride structure-matched proxies because the real
+    SuiteSparse benchmark files are unfetchable here (no egress); this
+    fingerprint makes the match CHECKABLE: run it on the real .mtx (via
+    matrices/compare_proxy.py) the day one is obtainable and compare
+    against the generator's output.  Covers the properties the planners
+    key on: degree distribution (layout choice, stack cap), in-degree
+    skew (hub peeling), bandwidth/locality (DIA vs routed, halo width).
+    """
+    m, n = A.shape
+    deg = A.row_nnz.astype(np.int64)
+    rows = np.repeat(np.arange(m, dtype=np.int64), deg)
+    cols = A.col_idx.astype(np.int64)
+    nnz = int(A.nnz)
+    indeg = np.bincount(cols, minlength=n) if nnz else np.zeros(n, np.int64)
+    d = np.abs(rows - cols) if nnz else np.zeros(0, np.int64)
+    qs = [50, 90, 99, 99.9]
+    band_fracs = {w: float((d < w).mean()) if nnz else 0.0
+                  for w in (64, 2048, 65536)}
+    return {
+        "shape": (int(m), int(n)),
+        "nnz": nnz,
+        "avg_deg": nnz / max(m, 1),
+        "row_deg_pct": {q: float(np.percentile(deg, q)) if m else 0.0
+                        for q in qs},
+        "row_deg_max": int(deg.max()) if m else 0,
+        "col_indeg_pct": {q: float(np.percentile(indeg, q)) if n else 0.0
+                          for q in qs},
+        "col_indeg_max": int(indeg.max()) if n else 0,
+        "hub_cols_ge128": int((indeg >= 128).sum()),
+        "bandwidth_pct": {q: float(np.percentile(d, q)) if nnz else 0.0
+                          for q in qs},
+        "band_frac": band_fracs,
+        "empty_rows_frac": float((deg == 0).mean()) if m else 0.0,
+        "sym_pattern_sample": _symmetry_sample(A, rows, cols),
+    }
+
+
+def _symmetry_sample(A: CsrMatrix, rows, cols, k: int = 4096,
+                     seed: int = 0) -> float:
+    """Fraction of a sampled entry set whose transpose position is also
+    stored (1.0 = structurally symmetric on the sample)."""
+    nnz = len(rows)
+    if nnz == 0:
+        return 1.0
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, nnz, size=min(k, nnz))
+    hit = 0
+    rp, ci = A.row_ptr, A.col_idx
+    for e in idx:
+        r, c = int(cols[e]), int(rows[e])  # transpose position
+        lo, hi = int(rp[r]), int(rp[r + 1])
+        hit += int(np.searchsorted(ci[lo:hi], c) < hi - lo
+                   and ci[lo + np.searchsorted(ci[lo:hi], c)] == c)
+    return hit / len(idx)
