@@ -59,6 +59,35 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# numpy integer floor-divide/mod are unvectorized per-element divides on
+# this host (CLAUDE.md) — over nnz-sized arrays that is seconds of plan-
+# build time, so every power-of-two divisor below uses shift/mask.
+_SLAB_SHIFT = SLAB.bit_length() - 1   # 14
+_LANE_SHIFT = 7                       # LANES == 128
+
+
+def _pow2_shift(d: int):
+    """log2(d) when d is a power of two, else None (caller falls back to
+    the generic divide)."""
+    return d.bit_length() - 1 if d > 0 and (d & (d - 1)) == 0 else None
+
+
+def _run_local_pos(keys_sorted: np.ndarray, nnz: int) -> np.ndarray:
+    """Position of each element within its run of equal keys (keys sorted).
+
+    Streaming replacement for `arange - searchsorted(keys, keys, "left")`
+    (the binary search measured ~2 s per 12M-entry call at stress scale):
+    mark run starts with one shifted compare, hold each run's start index
+    with a cummax, subtract."""
+    idx = np.arange(nnz, dtype=np.int32)
+    if nnz == 0:
+        return idx
+    run_start = np.empty(nnz, dtype=bool)
+    run_start[0] = True
+    np.not_equal(keys_sorted[1:], keys_sorted[:-1], out=run_start[1:])
+    return idx - np.maximum.accumulate(np.where(run_start, idx, 0))
+
+
 # ---------------------------------------------------------------------------
 # Layout math (shared by from_csr and the distributed size probe)
 # ---------------------------------------------------------------------------
@@ -90,13 +119,12 @@ def _balanced_relabel(n: int, res_cols: np.ndarray):
 def _gather_layout(cols: np.ndarray, nnz: int, n_slabs_min: int = 0):
     """Slab/bucket gather tiling: returns (gslot (nnz,) i32, tiles_per_slab
     (n_slabs,) i64, n_slabs).  Natural tile count = tiles_per_slab.sum()."""
-    slab = cols // SLAB
-    bucket = (cols % SLAB) // LANES
+    slab = cols >> _SLAB_SHIFT
+    bucket = (cols >> _LANE_SHIFT) & (LANES - 1)
     key = (slab * LANES + bucket).astype(np.int32)
     order = np.argsort(key, kind="stable")
     key_s = key[order]
-    pos = (np.arange(nnz, dtype=np.int32)
-           - np.searchsorted(key_s, key_s, side="left").astype(np.int32))
+    pos = _run_local_pos(key_s, nnz)
     n_slabs = int(slab.max(initial=0)) + 1 if nnz else 1
     n_slabs = max(n_slabs, n_slabs_min, 1)
     counts = np.bincount(key_s, minlength=n_slabs * LANES)
@@ -104,8 +132,9 @@ def _gather_layout(cols: np.ndarray, nnz: int, n_slabs_min: int = 0):
         -(-counts.reshape(n_slabs, LANES).max(axis=1) // LANES), 1)
     tile_base = np.concatenate(
         [[0], np.cumsum(tiles_per_slab)]).astype(np.int32)
-    tile_of = tile_base[key_s // LANES] + pos // LANES
-    gslot_s = tile_of * SLAB + (key_s % LANES) * LANES + pos % LANES
+    tile_of = tile_base[key_s >> _LANE_SHIFT] + (pos >> _LANE_SHIFT)
+    gslot_s = (tile_of * SLAB + (key_s & (LANES - 1)) * LANES
+               + (pos & (LANES - 1)))
     gslot = np.empty(nnz, dtype=np.int32)
     native.scatter(gslot, order, gslot_s)
     return gslot, tiles_per_slab, n_slabs
@@ -141,8 +170,10 @@ def _stack_layout(A: CsrMatrix, cap: int = 0, min_extras: int = 0):
     m_pad = _round_up(max(m, 1), LANES)
 
     cap = int(cap) if cap and cap >= 1 else 0
+    cap_sh = _pow2_shift(cap) if cap else None
     if cap:
-        k_r = np.maximum(-(-deg // cap), 1)
+        k_r = np.maximum((deg + cap - 1) >> cap_sh if cap_sh is not None
+                         else -(-deg // cap), 1)
     else:
         k_r = np.ones(m, dtype=np.int64)
     ex_r = k_r - 1                      # appendix slots per row
@@ -188,14 +219,17 @@ def _stack_layout(A: CsrMatrix, cap: int = 0, min_extras: int = 0):
         """(srank, within-slot position) for each nnz."""
         if not cap:
             return rank[rows], j_in_row
-        sub_e = j_in_row // cap
+        sub_e = (j_in_row >> cap_sh if cap_sh is not None
+                 else j_in_row // cap)
+        j_loc = (j_in_row & (cap - 1) if cap_sh is not None
+                 else j_in_row % cap)
         primary = sub_e == 0
         srank = np.where(
             primary, rank[rows],
             m_pad + apos_of_extra[np.where(
                 primary, 0, ex_base[rows] + sub_e - 1)]
             if E else 0)
-        return srank.astype(np.int32), j_in_row % cap
+        return srank.astype(np.int32), j_loc
 
     return (rank, off64, depth, n_blocks, srank_of_entry, merge_ids,
             n_extra, merged)
@@ -226,8 +260,7 @@ def _peel_layout(pcols: np.ndarray, pvals_in: np.ndarray):
     order = np.argsort(pcols, kind="stable").astype(np.int32)
     pc_s = pcols[order]
     k = len(pc_s)
-    j_in_col = (np.arange(k, dtype=np.int32)
-                - np.searchsorted(pc_s, pc_s, side="left").astype(np.int32))
+    j_in_col = _run_local_pos(pc_s, k)
     uniq, first = np.unique(pc_s, return_index=True)
     cnt_p = np.diff(np.append(first, k))
     rows_per_col = (-(-cnt_p // LANES)).astype(np.int64)
@@ -239,8 +272,8 @@ def _peel_layout(pcols: np.ndarray, pvals_in: np.ndarray):
     row_base = row_base64.astype(np.int32)
     col_group = np.repeat(np.arange(len(uniq), dtype=np.int32),
                           cnt_p)
-    prow = row_base[col_group] + j_in_col // LANES
-    pslot = prow * LANES + j_in_col % LANES
+    prow = row_base[col_group] + (j_in_col >> _LANE_SHIFT)
+    pslot = prow * LANES + (j_in_col & (LANES - 1))
     R_p = int(row_base[-1])
     prow_col = np.repeat(uniq.astype(np.int32), rows_per_col)
     pvals = np.zeros(R_p * LANES, dtype=pvals_in.dtype)
@@ -408,7 +441,8 @@ class RoutedPlan:
 
         gidx = np.zeros(T_g * SLAB, dtype=np.int32)
         gvals = np.zeros(T_g * SLAB, dtype=np_val)
-        native.scatter(gidx, gslot_res, (p_cols % LANES).astype(np.int32))
+        native.scatter(gidx, gslot_res,
+                       (p_cols & (LANES - 1)).astype(np.int32))
         native.scatter(gvals, gslot_res, vals_np[res_idx])
         gslab_arr = np.repeat(
             np.arange(n_slabs, dtype=np.int32), tiles_per_slab)
@@ -447,7 +481,8 @@ class RoutedPlan:
         j_in_row = np.arange(nnz, dtype=np.int32) - np.repeat(
             A.row_ptr[:-1].astype(np.int32), A.row_nnz)
         srank, within = srank_of_entry(rows, j_in_row)
-        rslot = (off[srank // LANES] + within) * LANES + srank % LANES
+        rslot = ((off[srank >> _LANE_SHIFT] + within) * LANES
+                 + (srank & (LANES - 1)))
         brow_ids = np.concatenate([
             np.repeat(np.arange(n_blocks, dtype=np.int32), depth),
             # stack pad rows attach to the last block (stays sorted; the
