@@ -145,7 +145,7 @@ def wcoo_tile_count(A: CsrMatrix) -> int:
     nnz = A.nnz
     if not nnz:
         return 1
-    anchors = (rows // 128 + WINDOW // 128) * 128
+    anchors = ((rows >> 7) + WINDOW // 128) * 128
     limit = np.searchsorted(rows, anchors, side="left")
     count, i = 0, 0
     while i < nnz:
@@ -173,7 +173,7 @@ def _wcoo_layout(rows: np.ndarray, col_ids: np.ndarray,
     # 128-aligned window of depth WINDOW anchored at the tile's first row
     if nnz:
         # limit[i]: first j whose row leaves the window anchored at i
-        anchors = (rows // 128 + WINDOW // 128) * 128
+        anchors = ((rows >> 7) + WINDOW // 128) * 128
         limit = np.searchsorted(rows, anchors, side="left")
         starts = []
         i = 0
@@ -204,8 +204,8 @@ def _wcoo_layout(rows: np.ndarray, col_ids: np.ndarray,
         # window 0 would restart block 0 and overwrite its content
         window[T_real:] = window[T_real - 1]
         vals[slot_tile, slot_pos] = values
-        xblk[slot_tile, slot_pos] = col_ids // 128
-        lane[slot_tile, slot_pos] = col_ids % 128
+        xblk[slot_tile, slot_pos] = col_ids >> 7
+        lane[slot_tile, slot_pos] = col_ids & 127
         relrow[slot_tile, slot_pos] = rows - window[slot_tile]
     assert relrow.max(initial=0) < WINDOW
 
