@@ -241,7 +241,7 @@ def build_route(perm: np.ndarray) -> RouteProgram:
             # two), so blocks never straddle a lane row and the whole
             # level is one row-local lane shuffle
             R = len(p) // LANES
-            rows = np.repeat(np.arange(R, dtype=np.int32), LANES)
+            rows = np.arange(len(p), dtype=np.int32) >> 7
             assert np.array_equal(p >> 7, rows), "non-row-local base"
             emit_gather((p & (LANES - 1)).reshape(R, LANES))
             return
@@ -252,7 +252,7 @@ def build_route(perm: np.ndarray) -> RouteProgram:
         src = p
         # edges: one per destination element; rows in the (R, 128) grid
         src_row = src >> 7        # // LANES
-        dst_row = np.repeat(np.arange(R, dtype=np.int32), LANES)
+        dst_row = np.arange(len(p), dtype=np.int32) >> 7
         # every level below the top permutes within independent bs-blocks:
         # block b owns edges [b*bs, (b+1)*bs) and rows [b*A, (b+1)*A) on
         # both sides, so its whole coloring problem is cache-resident
