@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _fmt(v):
+    if v is None:
+        return "n/a"
     if isinstance(v, float):
         return f"{v:.4g}"
     if isinstance(v, dict):

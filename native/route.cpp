@@ -193,7 +193,7 @@ bool fast_halve(const int32_t* lsrc, const int32_t* ldst, int32_t n_left,
 
   segs.clear();
   // lane state; seg == -1 marks an idle lane
-  int32_t lane_pos[kLanes], lane_start[kLanes];
+  int32_t lane_pos[kLanes];
   int64_t lane_len[kLanes];
   uint32_t lane_par[kLanes];
   int32_t lane_seg[kLanes];
@@ -214,7 +214,7 @@ bool fast_halve(const int32_t* lsrc, const int32_t* ldst, int32_t n_left,
           cursor += cstride;
         if (cursor >= np) break;
         if ((int64_t)segs.size() >= (1 << 24) - 1) return false;
-        lane_pos[i] = lane_start[i] = (int32_t)cursor;
+        lane_pos[i] = (int32_t)cursor;
         lane_len[i] = 0;
         lane_par[i] = 0;
         lane_seg[i] = (int32_t)segs.size();
@@ -415,7 +415,9 @@ int sblas_edge_color_blocked(int32_t n_blocks, int32_t npb_left,
   const int64_t ne = (int64_t)n_blocks * epb;
   if (epb != (int64_t)npb_left * d || epb != (int64_t)npb_right * d)
     return 2;
-  if (ne >= (int64_t)1 << 31) return 5;  // int32-indexed internals
+  // int32-indexed internals cover 2*ne incidence POSITIONS, not just
+  // ne edges — the bound is 2^30 edges, not 2^31
+  if (ne >= (int64_t)1 << 30) return 5;
   for (int64_t b = 0; b < n_blocks; ++b) {
     const int64_t off = b * epb;
     const int32_t lo_l = (int32_t)(b * npb_left);
@@ -487,13 +489,10 @@ void scatter_bucketed(int64_t ne, int64_t n_out, const int32_t* addr,
   }
   // bucket so each out-region is ~128 KiB
   const int64_t region = (128 << 10) / (int64_t)sizeof(T);
-  int32_t shift = 0;
-  while (((int64_t)1 << shift) * region < n_out) ++shift;
-  // shift is bits of addr ABOVE the region granule: bucket = addr >> rbits
+  // bucket = addr >> rbits, each bucket spanning one ~128 KiB region
   int32_t rbits = 0;
   while (((int64_t)1 << rbits) < region) ++rbits;
   const int64_t n_buckets = ((n_out - 1) >> rbits) + 1;
-  (void)shift;
 
   std::vector<int64_t> cnt(n_buckets + 1, 0);
   for (int64_t k = 0; k < ne; ++k) ++cnt[(addr[k] >> rbits) + 1];

@@ -232,9 +232,13 @@ def structure_stats(A: CsrMatrix) -> dict:
 
 
 def _symmetry_sample(A: CsrMatrix, rows, cols, k: int = 4096,
-                     seed: int = 0) -> float:
+                     seed: int = 0):
     """Fraction of a sampled entry set whose transpose position is also
-    stored (1.0 = structurally symmetric on the sample)."""
+    stored (1.0 = structurally symmetric on the sample); None for
+    rectangular matrices, where the notion is undefined (and a column id
+    may exceed the row count)."""
+    if A.shape[0] != A.shape[1]:
+        return None
     nnz = len(rows)
     if nnz == 0:
         return 1.0

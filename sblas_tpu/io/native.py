@@ -25,18 +25,35 @@ _tried = False
 FIELD_CODES = {"pattern": 0, "real": 1, "integer": 1, "complex": 2}
 
 
+def _stale() -> bool:
+    """True when any native source is newer than the built library — a
+    pre-existing .so from an older checkout would otherwise silently lack
+    newer symbols and every fast path would fall back with no warning."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    ndir = os.path.abspath(_NATIVE_DIR)
+    try:
+        names = os.listdir(ndir)
+    except OSError:
+        return False
+    return any(f.endswith(".cpp") and
+               os.path.getmtime(os.path.join(ndir, f)) > lib_mtime
+               for f in names)
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and \
-            os.environ.get("SBLAS_NO_NATIVE_BUILD") != "1":
+    if _stale() and os.environ.get("SBLAS_NO_NATIVE_BUILD") != "1":
         try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR),
+                            "-B"],
                            capture_output=True, timeout=120, check=True)
         except (OSError, subprocess.SubprocessError):
-            return None
+            pass  # fall through: an existing (possibly stale) lib still loads
     if not os.path.exists(_LIB_PATH):
         return None
     try:
@@ -94,8 +111,14 @@ def scatter(out: np.ndarray, addr: np.ndarray, vals) -> np.ndarray:
     lib = _load() if (suffix is not None
                       and os.environ.get("SBLAS_NO_NATIVE") != "1") else None
     fn = getattr(lib, f"sblas_scatter_{suffix}", None) if lib else None
+    addr = np.asarray(addr)
     if (fn is None or not out.flags.c_contiguous or out.ndim != 1
-            or len(addr) == 0):
+            or addr.dtype.kind != "i" or len(addr) == 0):
+        # boolean masks and other fancy-index forms keep numpy semantics
+        out[addr] = vals
+        return out
+    if int(addr.min()) < 0 or int(addr.max()) >= out.shape[0]:
+        # match numpy's IndexError instead of corrupting memory natively
         out[addr] = vals
         return out
     addr32 = np.ascontiguousarray(addr, dtype=np.int32)

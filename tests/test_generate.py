@@ -37,13 +37,29 @@ def test_compare_proxy_cli(tmp_path, capsys):
     coo = A.to_coo()
     p = str(tmp_path / "t.mtx")
     mmio.write_mtx(p, 60, 60, coo.row_idx, coo.col_idx, coo.values)
+    import os
+    cli = os.path.join(os.path.dirname(__file__), "..", "matrices",
+                       "compare_proxy.py")
     argv = _sys.argv
     _sys.argv = ["compare_proxy.py", p]
     try:
         with pytest.raises(SystemExit) as e:
-            runpy.run_path("matrices/compare_proxy.py", run_name="__main__")
+            runpy.run_path(cli, run_name="__main__")
         assert e.value.code == 0
     finally:
         _sys.argv = argv
     out = capsys.readouterr().out
     assert "nnz" in out and "bandwidth_pct" in out
+
+
+def test_structure_stats_rectangular():
+    """Rectangular matrices must not crash the fingerprint; symmetry is
+    reported as undefined (review finding: col id could index row_ptr)."""
+    from sblas_tpu.containers import CsrMatrix
+    from sblas_tpu.io.generate import structure_stats
+    rp = np.array([0, 1, 2], dtype=np.int64)
+    ci = np.array([40, 3], dtype=np.int64)
+    A = CsrMatrix(rp, ci, np.ones(2), (2, 50))
+    st = structure_stats(A)
+    assert st["shape"] == (2, 50)
+    assert st["sym_pattern_sample"] is None
