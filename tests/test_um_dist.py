@@ -163,3 +163,20 @@ def test_um_mode1_stream_chunking(mesh, banded, chunk, monkeypatch):
     got = sync_to_host(spmm_um_mode1(
         hp, jnp.asarray(B.values), 3.0, 4.0, jnp.asarray(C.values), mesh))
     assert_equal(got, spmm_cpu(banded, B, 3.0, 4.0, C))
+
+
+def test_um_dist_tuned_plan_streamed_chunked(mesh, banded, monkeypatch):
+    """A previously-tuned shard container driven through the UNTUNED loop
+    (tuning=False) serves chunks from the prefetched stack — the
+    _band_slices tuned branch under SBLAS_STREAM_CHUNK."""
+    monkeypatch.setenv("SBLAS_STREAM_CHUNK", "3")
+    hs = host_resident_shards(banded, N_DEV, dtype=jnp.float64,
+                              hbm_budget_bytes=128 << 10)
+    hs.apply_gpu_tuning(mesh)
+    assert hs.tuned
+    x = DenseVector.random(banded.width)
+    y = DenseVector.constant(banded.height, 1.0)
+    got = sync_to_host(spmv_um_dist(
+        hs, jnp.asarray(x.values), 3.0, 4.0, jnp.asarray(y.values), mesh,
+        tuning=False))
+    assert_equal(got, spmv_cpu(banded, x, 3.0, 4.0, y))
