@@ -56,10 +56,13 @@ def _stream_chunk() -> int:
     Each streamed band normally costs one program dispatch (~30 ms host
     overhead on the remote attachment, CLAUDE.md); grouping G bands per
     dispatch divides that count by G at the price of a G-band-resident
-    HBM window and a larger compiled program (compile-tunnel 413 risk
-    bounds G).  Read per call so tests and benchmarks can set it; the
-    default stays 1 until the dispatch saving is measured on hardware."""
-    return max(int(os.environ.get("SBLAS_STREAM_CHUNK", "1")), 1)
+    HBM window and a larger compiled program — G is clamped to the same
+    cap that bounds the unrolled tuned programs (very large programs
+    fail the remote-compile tunnel with HTTP 413).  Read per call so
+    tests and benchmarks can set it; the default stays 1 until the
+    dispatch saving is measured on hardware."""
+    g = max(int(os.environ.get("SBLAS_STREAM_CHUNK", "1")), 1)
+    return min(g, _UNROLL_MAX_BANDS)
 
 # Windowed-COO band fallback: if tile-splitting stores more than this many
 # slots per true nnz across all bands, plain COO bands stream less data.
