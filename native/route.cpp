@@ -118,8 +118,12 @@ void euler_halve(const int32_t* lsrc, const int32_t* ldst, int32_t n_left,
 // Alternating a bit along each succ-cycle splits every node's pairs — and
 // hence its degree — exactly in half, because consecutive cycle steps are
 // exactly the node pairings.  A static permutation can be chased with W
-// independent lanes (list ranking with splitters): this host sustains ~8x
-// the dependent-chase throughput at W=16 (measured 19 vs 150 ns/step).
+// independent lanes (list ranking with splitters).  An isolated chase
+// microbenchmark promised ~8x at W=16 (19 vs 150 ns/step); IN SITU the
+// win is ~1.5x (~36 ns/position vs ~100 ns/edge serial) and flat from
+// W=16 to 48 — the host's memory-level parallelism, shared with the
+// interleaved build/extract traffic, is the binding limit (2 MiB THP
+// pages measured no help; see the note above).
 //
 // Mirror structure: twin conjugates succ to its inverse, so cycles come in
 // mirror pairs traversing the same edges in opposite directions (each edge
