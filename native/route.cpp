@@ -345,7 +345,11 @@ int color_one(int32_t n_left, int32_t n_right, int64_t ne, int32_t d,
     int32_t b = 0; while ((1 << b) < dd) ++b; return b; } (d);
 
   // breadth-first over depth levels: at each level every group splits in
-  // two via a stable partition of the parallel arrays
+  // two via a stable partition of the parallel arrays.  Groups tile
+  // [0, ne) contiguously, so each group partitions into the SAME global
+  // range of the t_ buffers and one pointer swap per depth replaces a
+  // full copy-back pass (the copy-back measured ~1.3 s per 14.7M-edge
+  // coloring).
   std::vector<int64_t> offs{0, ne};
   for (int32_t depth = 0; depth < max_depth; ++depth) {
     std::vector<int64_t> next_offs{0};
@@ -362,7 +366,7 @@ int color_one(int32_t n_left, int32_t n_right, int64_t ne, int32_t d,
         for (int64_t k = 0; k < len; ++k) n1 += (w.ub_k[k] >> 1) & 1;
         if (n1 * 2 != len) return 4;  // degrees were odd
         const int64_t len0 = len - n1;
-        int64_t p0 = 0, p1 = len0;
+        int64_t p0 = off, p1 = off + len0;
         for (int64_t k = 0; k < len; ++k) {
           const int64_t e = off + k;
           const int32_t bit = (w.ub_k[k] >> 1) & 1;
@@ -372,18 +376,16 @@ int color_one(int32_t n_left, int32_t n_right, int64_t ne, int32_t d,
           w.t_dst[t] = w.ldst[e];
           w.t_col[t] = w.lcol[e] | (bit << depth);
         }
-        for (int64_t k = 0; k < len; ++k) {
-          w.eid[off + k] = w.t_eid[k];
-          w.lsrc[off + k] = w.t_src[k];
-          w.ldst[off + k] = w.t_dst[k];
-          w.lcol[off + k] = w.t_col[k];
-        }
         next_offs.push_back(off + len0);
       } else {
         next_offs.push_back(off);
       }
       next_offs.push_back(off + len);
     }
+    w.eid.swap(w.t_eid);
+    w.lsrc.swap(w.t_src);
+    w.ldst.swap(w.t_dst);
+    w.lcol.swap(w.t_col);
     offs = std::move(next_offs);
   }
 
