@@ -103,14 +103,25 @@ def main() -> int:
     # edges) costs ~15 s on this host; persist it like FFTW wisdom.
     # v2: skewed proxy + hub peeling (cache is keyed by file name).
     from sblas_tpu.io.plancache import load_plan, save_plan
-    # v4: heavy-row stack-cap splitting added to the routed plan
-    cache = os.path.join(".bench_cache", "webbase_spmv_f32_v4.npz")
-    if os.path.exists(cache):
-        wbest = load_plan(cache)
-    else:
-        wbest = make_plan(W, dtype=jnp.float32, op="spmv")
+
+    def cached_plan(name, build):
+        """FFTW-wisdom load with a rebuild fallback: a cache file from an
+        older plan schema (FormatError) must not kill the bench run."""
+        path = os.path.join(".bench_cache", name)
+        if os.path.exists(path):
+            try:
+                return load_plan(path)
+            except Exception as e:  # stale schema / truncated file
+                print(f"# plan cache {name} unusable ({e}); rebuilding",
+                      file=sys.stderr)
+        plan = build()
         os.makedirs(".bench_cache", exist_ok=True)
-        save_plan(cache, wbest)
+        save_plan(path, plan)
+        return plan
+
+    # v4: heavy-row stack-cap splitting added to the routed plan
+    wbest = cached_plan("webbase_spmv_f32_v4.npz",
+                        lambda: make_plan(W, dtype=jnp.float32, op="spmv"))
     assert_equal(
         np.asarray(spmv(wbest, xw0, 1.0, 1.0, yw)),
         spmv_cpu(W, DenseVector(np.asarray(xw0)), 1.0, 1.0,
@@ -167,15 +178,11 @@ def main() -> int:
     for nsh in (4, 16):
         xf[nsh] = xfoot_stats(W, nsh)
         local, (tg, srs, prs, sks) = xfoot_worst_local(W, nsh)
-        sc = os.path.join(".bench_cache",
-                          f"webbase_xfoot_shard{nsh}_f32_v1.npz")
-        if os.path.exists(sc):
-            lplan = load_plan(sc)
-        else:
-            lplan = RoutedPlan.from_csr(local, dtype=jnp.float32,
+        lplan = cached_plan(
+            f"webbase_xfoot_shard{nsh}_f32_v1.npz",
+            lambda: RoutedPlan.from_csr(local, dtype=jnp.float32,
                                         min_gtiles=tg, min_srows=srs,
-                                        min_prows=prs, min_sranks=sks)
-            save_plan(sc, lplan)
+                                        min_prows=prs, min_sranks=sks))
         xl = jnp.asarray(
             DenseVector.random(local.shape[1], dtype=np.float32).values)
         yl = jnp.zeros(local.shape[0], jnp.float32)
@@ -203,15 +210,13 @@ def main() -> int:
     # modeled xfoot exchange.
     W4 = webbase_like(n=4_000_000, dtype=np.float32)
     st4 = xfoot_stats(W4, 4)
-    c4 = os.path.join(".bench_cache", "webbase4m_xfoot_shard4_f32_v1.npz")
-    if os.path.exists(c4):
-        lplan4 = load_plan(c4)
-    else:
+    def _build4():
         local4, (tg, srs, prs, sks) = xfoot_worst_local(W4, 4)
-        lplan4 = RoutedPlan.from_csr(local4, dtype=jnp.float32,
-                                     min_gtiles=tg, min_srows=srs,
-                                     min_prows=prs, min_sranks=sks)
-        save_plan(c4, lplan4)
+        return RoutedPlan.from_csr(local4, dtype=jnp.float32,
+                                   min_gtiles=tg, min_srows=srs,
+                                   min_prows=prs, min_sranks=sks)
+
+    lplan4 = cached_plan("webbase4m_xfoot_shard4_f32_v1.npz", _build4)
     xl4 = jnp.asarray(
         DenseVector.random(lplan4.shape[1], dtype=np.float32).values)
     yl4 = jnp.zeros(lplan4.shape[0], jnp.float32)

@@ -151,6 +151,9 @@ def load_plan(path: str, put=None):
         def build(prefix: str):
             cls = registry[meta[f"{prefix}__class__"]]
             kwargs = {}
+            # (cls(**kwargs) below surfaces schema drift — a plan saved
+            # before a dataclass gained a required field — as FormatError
+            # via the wrapper at the bottom, not a raw TypeError)
             for f in dataclasses.fields(cls):
                 if f.name.startswith("_"):
                     continue
@@ -178,4 +181,11 @@ def load_plan(path: str, put=None):
                 # else: field with default (transient) — leave unset
             return cls(**kwargs)
 
-        return build("")
+        try:
+            return build("")
+        except (TypeError, KeyError) as e:
+            # schema drift: the file predates a field change in the plan
+            # dataclasses — callers should delete the cache and rebuild
+            raise FormatError(
+                f"plan cache {path} does not match the current plan "
+                f"schema ({e}); delete it and rebuild") from e

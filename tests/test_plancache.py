@@ -212,3 +212,29 @@ def test_roundtrip_host_resident_shards(tmp_path):
     mesh = make_mesh(8)
     _spmv_oracle_check(
         lambda x, y: spmv_um_dist(hs2, x, 3.0, 4.0, y, mesh), A)
+
+
+def test_schema_drift_raises_format_error(tmp_path):
+    """A cache whose stored fields no longer match the plan dataclass
+    surfaces FormatError (delete-and-rebuild guidance), not a raw
+    TypeError — bench and CLIs key rebuild fallbacks on this."""
+    import json
+
+    from sblas_tpu.io.generate import fem_banded_like
+    from sblas_tpu.io.plancache import load_plan, save_plan
+    from sblas_tpu.ops import make_plan
+    from sblas_tpu.utils.errors import FormatError
+
+    A = fem_banded_like(n=256, half_band=4)
+    p = make_plan(A, dtype=jnp.float64, force="coo")
+    path = str(tmp_path / "p.npz")
+    save_plan(path, p)
+    # simulate drift: drop a required field's array from the archive
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
+    removed = next(k for k in data if k.startswith(("a:", "n:"))
+                   and "__meta__" not in k)
+    del data[removed]
+    np.savez(path, **data)
+    with pytest.raises(FormatError):
+        load_plan(path)
