@@ -104,13 +104,20 @@ def main() -> int:
     # v2: skewed proxy + hub peeling (cache is keyed by file name).
     from sblas_tpu.io.plancache import load_plan, save_plan
 
-    def cached_plan(name, build):
+    def cached_plan(name, build, valid=None):
         """FFTW-wisdom load with a rebuild fallback: a cache file from an
-        older plan schema (FormatError) must not kill the bench run."""
+        older plan schema (FormatError) must not kill the bench run, and a
+        cache that fails the caller's `valid` predicate (geometry drift
+        after a generator/analyzer change) must not silently time the
+        wrong plan."""
         path = os.path.join(".bench_cache", name)
         if os.path.exists(path):
             try:
-                return load_plan(path)
+                plan = load_plan(path)
+                if valid is None or valid(plan):
+                    return plan
+                print(f"# plan cache {name} stale (geometry mismatch); "
+                      f"rebuilding", file=sys.stderr)
             except Exception as e:  # stale schema / truncated file
                 print(f"# plan cache {name} unusable ({e}); rebuilding",
                       file=sys.stderr)
@@ -163,9 +170,11 @@ def main() -> int:
     # ---- scaling-efficiency projections (BASELINE.md: >=80% linear to
     # v5e-16; one chip attached, so the analytic ICI model projects —
     # see sblas_tpu/scaling.py for the model and its assumptions) ----
-    from sblas_tpu.scaling import report_lines
+    from sblas_tpu.scaling import project_table, report_lines
+    table_mm = project_table("spmm", ms_best, A.shape[0], K, 4,
+                             halo_rows=2412)
     for line in report_lines("spmm", ms_best, A.shape[0], K, 4,
-                             halo_rows=2412):
+                             halo_rows=2412, table=table_mm):
         print(line, file=sys.stderr)
 
     # xfoot (footprint-compressed x-exchange): real plan-time exchange
@@ -182,7 +191,13 @@ def main() -> int:
             f"webbase_xfoot_shard{nsh}_f32_v1.npz",
             lambda: RoutedPlan.from_csr(local, dtype=jnp.float32,
                                         min_gtiles=tg, min_srows=srs,
-                                        min_prows=prs, min_sranks=sks))
+                                        min_prows=prs, min_sranks=sks),
+            # the probe is computed fresh above, so a stale cache (e.g.
+            # after a generator or analyzer change) is detectable: the
+            # cached plan must match the shard geometry and static sizes
+            valid=lambda p: (p.shape == local.shape and p.nnz == local.nnz
+                             and p.n_gtiles >= tg and p.n_srows >= srs
+                             and p.n_prows >= prs))
         xl = jnp.asarray(
             DenseVector.random(local.shape[1], dtype=np.float32).values)
         yl = jnp.zeros(local.shape[0], jnp.float32)
@@ -196,8 +211,10 @@ def main() -> int:
               f"{shard_ms[nsh] * 1e3:.1f} us (measured), hot "
               f"{xf[nsh].hot_total}, packets {xf[nsh].packet_pad}/pair, "
               f"extract {xf[nsh].extract_mode}", file=sys.stderr)
+    table_mv = project_table("spmv", ms_wbest, W.shape[0], 1, 4, xfoot=xf,
+                             xfoot_shard_ms=shard_ms)
     for line in report_lines("spmv", ms_wbest, W.shape[0], 1, 4, xfoot=xf,
-                             xfoot_shard_ms=shard_ms):
+                             xfoot_shard_ms=shard_ms, table=table_mv):
         print(line, file=sys.stderr)
 
     # weak scaling (per-chip-constant work): the strong-scaling n=16 cell
@@ -208,15 +225,45 @@ def main() -> int:
     # single-chip workload itself.  eff_weak = t1(1M matrix) / t_n where
     # t_n = measured worst-shard compute on the 4M matrix at n=4 + the
     # modeled xfoot exchange.
-    W4 = webbase_like(n=4_000_000, dtype=np.float32)
-    st4 = xfoot_stats(W4, 4)
-    def _build4():
-        local4, (tg, srs, prs, sks) = xfoot_worst_local(W4, 4)
-        return RoutedPlan.from_csr(local4, dtype=jnp.float32,
-                                   min_gtiles=tg, min_srows=srs,
-                                   min_prows=prs, min_sranks=sks)
+    # the 4M-row proxy generation + full xfoot analysis costs seconds of
+    # host time per run; its XFootStats are plan-time constants, so they
+    # persist in a JSON sidecar keyed to the plan cache — on a joint hit
+    # the W4 matrix is never regenerated (stale pairs are caught by the
+    # shape/nnz fingerprint recorded in the sidecar vs the cached plan)
+    from sblas_tpu.parallel.xfoot import XFootStats
+    st4_path = os.path.join(".bench_cache", "webbase4m_xfoot_stats_v1.json")
+    plan4_path = os.path.join(".bench_cache",
+                              "webbase4m_xfoot_shard4_f32_v1.npz")
+    st4 = lplan4 = None
+    if os.path.exists(st4_path) and os.path.exists(plan4_path):
+        try:
+            with open(st4_path) as fh:
+                side = json.load(fh)
+            lplan4 = load_plan(plan4_path)
+            if (tuple(side["plan_shape"]) == tuple(lplan4.shape)
+                    and side["plan_nnz"] == lplan4.nnz):
+                st4 = XFootStats(**side["stats"])
+            else:
+                lplan4 = None
+        except Exception as e:
+            print(f"# W4 cache unusable ({e}); rebuilding", file=sys.stderr)
+            st4 = lplan4 = None
+    if st4 is None or lplan4 is None:
+        W4 = webbase_like(n=4_000_000, dtype=np.float32)
+        st4 = xfoot_stats(W4, 4)
 
-    lplan4 = cached_plan("webbase4m_xfoot_shard4_f32_v1.npz", _build4)
+        def _build4():
+            local4, (tg, srs, prs, sks) = xfoot_worst_local(W4, 4)
+            return RoutedPlan.from_csr(local4, dtype=jnp.float32,
+                                       min_gtiles=tg, min_srows=srs,
+                                       min_prows=prs, min_sranks=sks)
+
+        lplan4 = cached_plan(os.path.basename(plan4_path), _build4)
+        os.makedirs(".bench_cache", exist_ok=True)
+        with open(st4_path, "w") as fh:
+            json.dump({"stats": st4._asdict(),
+                       "plan_shape": list(lplan4.shape),
+                       "plan_nnz": int(lplan4.nnz)}, fh)
     xl4 = jnp.asarray(
         DenseVector.random(lplan4.shape[1], dtype=np.float32).values)
     yl4 = jnp.zeros(lplan4.shape[0], jnp.float32)
@@ -259,6 +306,20 @@ def main() -> int:
                 eff = t1 / (n * ms) if ms else float("inf")
                 print(f"# measured[{op_name}] n={n}: {ms:.3f} ms, "
                       f"efficiency {eff * 100:.0f}%", file=sys.stderr)
+
+    # ---- explicit BASELINE scorecard (VERDICT r3 next#5): the >=80%
+    # claim in one auditable block, weak regime stated NEXT TO the red
+    # strong cell ----
+    from sblas_tpu.scaling import scorecard_lines
+    for line in scorecard_lines([
+        ("spmm shell K=64", table_mm, None, ""),
+        ("spmv webbase-1M", table_mv, (4, eff_weak),
+         "weak (1M rows/chip, the single-chip workload itself) is "
+         "BASELINE's per-chip speed-of-light regime; the strong n=16 "
+         "cell splits 3M nnz into 0.19M-nnz shards, below the plan "
+         "machinery's fixed-cost scale"),
+    ]):
+        print(line, file=sys.stderr)
 
     geomean = float(np.sqrt((ms_base / ms_best) * (ms_wb / ms_wbest)))
     print(f"# spmm speedup {ms_base/ms_best:.1f}x, spmv speedup "

@@ -87,6 +87,8 @@ def main() -> int:
 
     with timed("power iteration", times):
         it = 0
+        delta = jnp.asarray(float("inf"))
+        converged = False
         for it in range(1, args.maxiter + 1):
             # dangling mass + teleport fold into a uniform term
             dm = jnp.vdot(dang, r)
@@ -95,6 +97,7 @@ def main() -> int:
             delta = jnp.sum(jnp.abs(r_new - r))
             r = r_new
             if float(delta) < args.tol:
+                converged = True
                 break
 
     r_host = np.asarray(r)
@@ -102,7 +105,7 @@ def main() -> int:
     print(f"converged in {it} iterations on {n_dev} devices "
           f"(L1 delta {float(delta):.2e})")
     print("top ranks:", ", ".join(f"#{i}={r_host[i]:.3e}" for i in top))
-    ok = abs(r_host.sum() - 1.0) < 1e-6 and it < args.maxiter
+    ok = abs(r_host.sum() - 1.0) < 1e-6 and converged
     print(f"sum(r) = {r_host.sum():.6f} (should be ~1)")
     for name, ms in times.items():
         print(f"{name} = {ms:.1f} ms")

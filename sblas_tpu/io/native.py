@@ -25,21 +25,28 @@ _tried = False
 FIELD_CODES = {"pattern": 0, "real": 1, "integer": 1, "complex": 2}
 
 
+# exactly the inputs the Makefile links into libsblasio.so (plus the
+# Makefile itself — a flag change must rebuild too); unrelated tools in
+# native/ (bench_color.cpp) must NOT trigger a rebuild
+_LIB_SOURCES = ("mtxparse.cpp", "route.cpp", "Makefile")
+
+
 def _stale() -> bool:
-    """True when any native source is newer than the built library — a
-    pre-existing .so from an older checkout would otherwise silently lack
-    newer symbols and every fast path would fall back with no warning."""
+    """True when any linked native source (or the Makefile) is newer than
+    the built library — a pre-existing .so from an older checkout would
+    otherwise silently lack newer symbols and every fast path would fall
+    back with no warning."""
     if not os.path.exists(_LIB_PATH):
         return True
     lib_mtime = os.path.getmtime(_LIB_PATH)
     ndir = os.path.abspath(_NATIVE_DIR)
-    try:
-        names = os.listdir(ndir)
-    except OSError:
-        return False
-    return any(f.endswith(".cpp") and
-               os.path.getmtime(os.path.join(ndir, f)) > lib_mtime
-               for f in names)
+    for f in _LIB_SOURCES:
+        try:
+            if os.path.getmtime(os.path.join(ndir, f)) > lib_mtime:
+                return True
+        except OSError:
+            continue
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:

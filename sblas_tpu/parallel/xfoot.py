@@ -342,12 +342,15 @@ def partition_xfoot(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
     # ---- extraction tables: local x -> [hot segment | packets] ----
     # owner t's hot contribution = its owned hot cols in buffer order
     # (hot_cols is sorted, ownership is contiguous -> one compact run)
-    send_idx = np.zeros((n_shards, 0), dtype=np.int64)
+    # int32 throughout: values are local x indices < r_x < 2^31 (PlanError
+    # guard upstream), and this host pays ~14x for 64-bit random access —
+    # at large out_slots x n_shards an int64 table doubles the footprint
+    send_idx = np.zeros((n_shards, 0), dtype=np.int32)
     xroute_tables = ()
     xroute_schedule = ()
     xroute_n = 0
     if out_slots:
-        src_of = np.zeros((n_shards, out_slots), dtype=np.int64)
+        src_of = np.zeros((n_shards, out_slots), dtype=np.int32)
         used_of = np.zeros((n_shards, out_slots), dtype=bool)
         for t in range(n_shards):
             h = int(hot_own[t])
@@ -370,13 +373,13 @@ def partition_xfoot(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
             N = routable_size(L)
             progs = []
             for t in range(n_shards):
-                perm = np.full(N, -1, dtype=np.int64)
+                perm = np.full(N, -1, dtype=np.int32)
                 perm[:out_slots][used_of[t]] = src_of[t][used_of[t]]
                 used = np.zeros(N, dtype=bool)
                 used[perm[perm >= 0]] = True
                 unassigned = perm < 0
-                perm[unassigned] = np.flatnonzero(~used)
-                progs.append(build_route(perm.astype(np.int32)))
+                perm[unassigned] = np.flatnonzero(~used).astype(np.int32)
+                progs.append(build_route(perm))
             require(len({p.schedule for p in progs}) == 1, PartitionError,
                     "xfoot extraction route schedules diverged despite a "
                     "shared padded size (planner bug)")

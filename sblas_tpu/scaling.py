@@ -141,11 +141,12 @@ def project_flat_over_dcn(t1_ms: float, result_bytes: int, n_slices: int,
                           efficiency=t1_ms / (n * t_n) if t_n else 1.0)
 
 
-def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
-                 halo_rows: int = 0, chips: Tuple[int, ...] = (4, 16),
-                 ici_bw: float = ICI_BW_DEFAULT, xfoot: dict = None,
-                 xfoot_shard_ms: dict = None):
-    """Human-readable per-mode scaling lines for one workload.
+def project_table(op: str, t1_ms: float, m: int, k: int, itemsize: int,
+                  halo_rows: int = 0, chips: Tuple[int, ...] = (4, 16),
+                  ici_bw: float = ICI_BW_DEFAULT, xfoot: dict = None,
+                  xfoot_shard_ms: dict = None) -> dict:
+    """Structured per-chip-count projections for one workload:
+    {n: [ModeProjection, ...]} over every applicable distribution mode.
 
     `xfoot` maps chip count -> XFootStats (parallel/xfoot.py) to price
     the footprint-compressed x-exchange mode; `xfoot_shard_ms` maps chip
@@ -165,9 +166,7 @@ def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
         + ["mode2_psum", "mode2_psum_scatter"]
     if halo_rows:
         modes.append("halo")
-    lines = [f"# scaling[{op}] t1={t1_ms:.3f} ms, result "
-             f"{result_bytes / 1e6:.1f} MB, ici_bw={ici_bw / 1e9:.0f} GB/s "
-             f"(model)"]
+    table = {}
     for n in chips:
         sh = (xfoot_shard_ms or {}).get(n)
         projs = [project(mo, t1_ms, result_bytes, n, halo_bytes, ici_bw,
@@ -177,6 +176,26 @@ def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
             projs.append(project(
                 "xfoot", t1_ms, result_bytes, n, halo_bytes, ici_bw,
                 xfoot_stats=xfoot[n], itemsize=itemsize, shard_ms=sh))
+        table[n] = projs
+    return table
+
+
+def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
+                 halo_rows: int = 0, chips: Tuple[int, ...] = (4, 16),
+                 ici_bw: float = ICI_BW_DEFAULT, xfoot: dict = None,
+                 xfoot_shard_ms: dict = None, table: dict = None):
+    """Human-readable per-mode scaling lines for one workload (see
+    `project_table` for the projection semantics; pass a precomputed
+    `table` to avoid projecting twice when also building the
+    scorecard)."""
+    result_bytes = m * max(k, 1) * itemsize
+    if table is None:
+        table = project_table(op, t1_ms, m, k, itemsize, halo_rows, chips,
+                              ici_bw, xfoot, xfoot_shard_ms)
+    lines = [f"# scaling[{op}] t1={t1_ms:.3f} ms, result "
+             f"{result_bytes / 1e6:.1f} MB, ici_bw={ici_bw / 1e9:.0f} GB/s "
+             f"(model)"]
+    for n, projs in table.items():
         cells = ", ".join(
             f"{p.mode} {p.efficiency * 100:.0f}%"
             + (f" (comm {p.comm_ms:.3f} ms)" if p.comm_ms else "")
@@ -186,6 +205,49 @@ def report_lines(op: str, t1_ms: float, m: int, k: int, itemsize: int,
                      f"{best_mode(projs).mode} "
                      f"{best_mode(projs).efficiency * 100:.0f}% "
                      f"({ok} 80% target)")
+    return lines
+
+
+def scorecard_lines(rows, target: float = 0.8):
+    """The explicit BASELINE scorecard block (VERDICT r3 next#5): one
+    aligned row per workload — best mode, strong efficiency per chip
+    count, weak efficiency, meets/MISSES — so the >=80% claim is
+    auditable at a glance instead of spread over interleaved model lines.
+
+    `rows` is a list of (workload, table, weak, note) where `table` is a
+    `project_table` result, `weak` is None or (n_weak, eff_weak) from a
+    measured weak-scaling run, and `note` (may be "") is printed under
+    the row — the place to state the "weak scaling is the per-chip
+    speed-of-light regime" argument next to a red strong cell rather
+    than around it (BASELINE.md §Measured)."""
+    chips = sorted({n for _, table, _, _ in rows for n in table})
+    pct = "{:.0f}%".format
+    header = (["# workload".ljust(26), "best".ljust(20)]
+              + [f"strong n={n}".ljust(12) for n in chips]
+              + ["weak".ljust(12), "verdict"])
+    lines = [f"# ===== BASELINE scorecard (target >={target * 100:.0f}% "
+             f"of linear, 1 chip -> v5e-16) =====",
+             "".join(header)]
+    for workload, table, weak, note in rows:
+        bests = {n: best_mode(projs) for n, projs in table.items()}
+        n_max = max(table)
+        misses = [f"strong@{n}" for n in sorted(table)
+                  if bests[n].efficiency < target]
+        if weak is not None and weak[1] < target:
+            misses.append("weak")
+        verdict = "meets" if not misses else (
+            "MISSES " + ",".join(misses)
+            + (f"; weak meets" if weak is not None and weak[1] >= target
+               else ""))
+        cells = (["# " + workload.ljust(24), bests[n_max].mode.ljust(20)]
+                 + [(pct(bests[n].efficiency * 100) if n in table
+                     else "--").ljust(12) for n in chips]
+                 + [(f"{pct(weak[1] * 100)} @n={weak[0]}" if weak
+                     else "--").ljust(12), verdict])
+        lines.append("".join(cells))
+        if note:
+            lines.append(f"#   ^ {note}")
+    lines.append("# =====")
     return lines
 
 

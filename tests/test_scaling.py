@@ -3,7 +3,8 @@
 import pytest
 
 from sblas_tpu.scaling import (ModeProjection, best_mode, collective_bytes,
-                               project, report_lines)
+                               project, project_table, report_lines,
+                               scorecard_lines)
 
 
 def test_collective_bytes_ring_formulas():
@@ -86,6 +87,52 @@ def test_xfoot_mode_priced_from_stats():
     # full result vector
     full = project("mode2_psum", 1.0, A.shape[0] * 4, 8)
     assert 0 < p.comm_ms < full.comm_ms
+
+
+def test_project_table_matches_report_lines():
+    """report_lines over a precomputed table must equal the recomputed
+    path — the scorecard and the detail lines must never disagree."""
+    table = project_table("spmm", 1.0, 100_000, 64, 4, halo_rows=500,
+                          chips=(4, 16))
+    assert sorted(table) == [4, 16]
+    via_table = report_lines("spmm", 1.0, 100_000, 64, 4, halo_rows=500,
+                             chips=(4, 16), table=table)
+    recomputed = report_lines("spmm", 1.0, 100_000, 64, 4, halo_rows=500,
+                              chips=(4, 16))
+    assert via_table == recomputed
+
+
+def test_scorecard_format():
+    """BENCH tail scorecard block (VERDICT r3 next#5): header + one row
+    per workload with per-n strong cells, a weak cell, and an explicit
+    meets/MISSES verdict; notes attach to their row."""
+    t_good = project_table("spmm", 1.0, 1000, 64, 4, chips=(4, 16))
+    # monstrous result bytes at tiny t1: full-C all-reduce misses hard
+    t_bad = project_table("spmv", 0.01, 50_000_000, 1, 4, chips=(4, 16))
+    lines = scorecard_lines([
+        ("spmm shell K=64", t_good, None, ""),
+        ("spmv webbase-1M", t_bad, (4, 0.96), "weak regime note"),
+    ])
+    assert all(ln.startswith("#") for ln in lines)
+    assert "BASELINE scorecard" in lines[0] and "80%" in lines[0]
+    header = lines[1]
+    assert "strong n=4" in header and "strong n=16" in header
+    assert "weak" in header and "verdict" in header
+    row_good = next(ln for ln in lines if "spmm shell K=64" in ln)
+    assert "meets" in row_good and "mode1" in row_good
+    row_bad = next(ln for ln in lines if "spmv webbase-1M" in ln)
+    assert "MISSES" in row_bad and "96% @n=4" in row_bad
+    assert "weak meets" in row_bad
+    i_bad = lines.index(row_bad)
+    assert lines[i_bad + 1].startswith("#   ^ weak regime note")
+    assert lines[-1] == "# ====="
+
+
+def test_scorecard_flags_weak_miss():
+    t = project_table("spmv", 1.0, 1000, 1, 4, chips=(4,))
+    lines = scorecard_lines([("wl-miss", t, (4, 0.5), "")])
+    row = next(ln for ln in lines if ln.startswith("# wl-miss"))
+    assert "weak" in row and "MISSES" in row and "weak meets" not in row
 
 
 def test_report_lines_include_xfoot_with_measured_shard():
