@@ -43,22 +43,24 @@ def vma_check_ok(kind: str) -> bool:
     """check_vma flag for shard_map programs running per-shard plan
     kernels of the given kind.
 
-    Two distinct opt-outs, both scoped as tightly as the tooling allows:
+    ONE opt-out remains, scoped as tightly as the tooling allows:
+    Pallas INTERPRET mode (the CPU test mesh) cannot typecheck grid>1
+    kernels over device-varying data — its own block extraction
+    dynamic-slices by grid index, and those indices carry no
+    varying-manual-axes (`Primitive dynamic_slice requires varying
+    manual axes to match`) — so Pallas-kernel kinds ("routed", "wcoo")
+    opt out under interpret.
 
-    * Pallas INTERPRET mode (the CPU test mesh) cannot typecheck grid>1
-      kernels over device-varying data — its own block extraction
-      dynamic-slices by grid index, and those indices carry no
-      varying-manual-axes — so Pallas-kernel kinds ("routed", "wcoo")
-      opt out under interpret.
-    * "wcoo" also opts out on COMPILED TPU: the fused SpMM reduce's
-      output index maps read the device-varying wb prefetch table
-      (`lambda t, wb: (wb[t], 0, 0)`) — sound (every shard owns its own
-      output buffer) but unprovable for the checker.  "routed" does
-      typecheck compiled: its shard_map path pre-gathers x slabs so
-      every index map is grid-only (ops/rspmv.py)."""
-    if kind == "wcoo":
-        return False
-    return kind != "routed" or jax.default_backend() == "tpu"
+    On COMPILED TPU every kind typechecks (VERDICT r3 next#4): "routed"
+    pre-gathers x slabs so every index map is grid-only (ops/rspmv.py),
+    and the wcoo fused SpMM reduce declares its output vma on the
+    pallas_call out_shape (ops/wcoo.py::_window_reduce_range), which
+    the checker accepts even though the output index maps read the
+    wb scalar-prefetch table — verified by tests/test_vma.py's
+    forced-compiled traces."""
+    if kind in ("routed", "wcoo"):
+        return jax.default_backend() == "tpu"
+    return True
 
 
 def init_distributed(**kwargs) -> None:
