@@ -166,10 +166,25 @@ def main() -> int:
 
     ms_x = loop_time_ms(step_xla, B, iters=16, args=(cols_d,))
 
+    # bonus: is the 6.2 ns/row transaction-bound or byte-bound?  A bf16
+    # table halves row bytes; if this halves the time, an opt-in
+    # reduced-precision wcoo SpMM (gather bf16 B, ~1e-3 rel) is on the
+    # table.  Unchanged time = per-row transaction cost, close the idea.
+    B16 = B.astype(jnp.bfloat16)
+
+    def step_xla16(c, ci):
+        b2 = c + jnp.bfloat16(1e-2) * c[:1, :1]
+        out = jnp.take(b2, ci, axis=0)
+        return c + jnp.bfloat16(1e-2) * out[:1, :1]
+
+    ms_x16 = loop_time_ms(step_xla16, B16, iters=16, args=(cols_d,))
+
     print(f"pallas column-window gather: {ms_p:.2f} ms "
           f"({ms_p * 1e6 / nnz:.2f} ns/row incl. fill)")
     print(f"XLA flat row gather:         {ms_x:.2f} ms "
           f"({ms_x * 1e6 / nnz:.2f} ns/row)")
+    print(f"XLA flat row gather (bf16):  {ms_x16:.2f} ms "
+          f"({ms_x16 * 1e6 / nnz:.2f} ns/row)")
     bridge = 6.2e-6 * nnz  # measured r3: 64-wide row permutation, ms
     print(f"go/no-go: unfused total = pallas {ms_p:.1f} + bridge "
           f"~{bridge:.1f} ms (64-wide permutation, r3 constant) "
