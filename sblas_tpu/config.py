@@ -89,6 +89,16 @@ class SBlasConfig:
     # skipping it; the distributed planners measure-or-model the choice.
     routed_relabel: bool = True
 
+    # Hot-set demand threshold for the xfoot exchange (parallel/xfoot.py):
+    # columns demanded by >= this many remote shards ride the hot
+    # broadcast; the rest go point-to-point.  <= 0 (default) picks the
+    # threshold by modeled exchange cost per partition — raw bytes favor
+    # q>=2, but the all_to_all pads every (owner, demander) segment to
+    # the max pair size, so low-q hot columns often ride existing pad
+    # slack for free (webbase n=16 measured: auto picks 4, 777 -> 516
+    # KB/chip).  >= 2 forces a fixed threshold.
+    xfoot_hot_qmin: int = 0
+
     # Lane-stack depth cap for the routed engine: a row with more than
     # this many nonzeros is split across ceil(deg/cap) rank slots whose
     # partials merge in one small segment-sum before the unrank route.
@@ -124,6 +134,7 @@ class SBlasConfig:
             routed_relabel=os.environ.get("SBLAS_ROUTED_RELABEL",
                                           "1") != "0",
             routed_stack_cap=_i("SBLAS_ROUTED_STACK_CAP", 256),
+            xfoot_hot_qmin=_i("SBLAS_XFOOT_QMIN", 0),
         )
 
 

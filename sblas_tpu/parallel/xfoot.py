@@ -90,6 +90,7 @@ class XFootStats(NamedTuple):
     send_real: int        # max over owners of real entries it extracts
     extract_mode: str     # "none" | "flat" | "route"
     extract_ns: float     # modeled per-chip extraction time per call
+    hot_qmin: int = 2     # demand threshold defining the hot set
 
     def comm_bytes(self, itemsize: int) -> float:
         n = self.n_shards
@@ -110,12 +111,21 @@ def _groupby(values: np.ndarray, keys: np.ndarray):
     return uk, np.split(v, first[1:])
 
 
-def _xfoot_analyze(A: CsrMatrix, n_shards: int):
+def _xfoot_analyze(A: CsrMatrix, n_shards: int, hot_qmin: int = 0):
     """Classify every (shard, referenced column) into own / hot / cold
     and lay out the owner-ordered hot buffer + packets.
 
-    Returns the geometry dict shared by `xfoot_stats` (model pricing) and
-    `partition_xfoot` (table construction)."""
+    `hot_qmin` <= 0 means the default threshold 2.  Raising it LOOKS
+    attractive on raw bytes (webbase n=16: q>=4 models 777 -> 516
+    KB/chip because low-q hot columns ride existing all_to_all pad
+    slack) but is a measured NET LOSS: a q-in-[2,qmin) column then
+    appears in q packets, the extraction map stops being a bijection,
+    and the routed extraction engine (a Clos network — permutations
+    only, no multicast) cannot express it; materializing the duplicate
+    copies costs ~2.3 ns each (~10^2 us/call at webbase scale) where
+    the psum's network fanout did it for free.  q>=2 with route
+    extraction is structurally optimal; the knob stays for small-
+    footprint experiments (duplicates force the flat engine)."""
     from ..scaling import GATHER_NS, ROUTE_NS
     from ..ops.route import routable_size
     from ..utils.errors import PlanError, require
@@ -137,9 +147,11 @@ def _xfoot_analyze(A: CsrMatrix, n_shards: int):
         remote = cols_s[(cols_s // r_x) != s]
         q[remote] += 1
 
-    # hot = exact q>=2 set, owner-grouped (sorted col order groups owners
-    # since ownership is by contiguous block)
-    hot_cols = np.flatnonzero(q >= 2).astype(np.int32)
+    if hot_qmin < 2:
+        hot_qmin = 2
+    # hot = exact q>=hot_qmin set, owner-grouped (sorted col order groups
+    # owners since ownership is by contiguous block)
+    hot_cols = np.flatnonzero(q >= hot_qmin).astype(np.int32)
     H_tot = len(hot_cols)
     hot_own = np.zeros(n_shards, dtype=np.int64)   # cols owned per shard
     hot_off = np.zeros(n_shards, dtype=np.int64)   # owner segment start
@@ -183,37 +195,42 @@ def _xfoot_analyze(A: CsrMatrix, n_shards: int):
     # extraction engine by modeled cost
     Hmax = _round_up(int(hot_own.max()), 128) if H_tot else 0
     out_slots = Hmax + n_shards * P_pad
+    # a forced hot_qmin > 2 sends q-in-[2,qmin) columns to SEVERAL
+    # demanders' packets — the extraction map stops being injective and
+    # the routed engine (permutations only) cannot express it
+    dup = hot_qmin > 2 and bool(((q >= 2) & (q < hot_qmin)).any())
     if out_slots == 0:
         mode, extract_ns, route_space = "none", 0.0, 0
     else:
         route_space = routable_size(max(r_x, out_slots))
         flat_ns = GATHER_NS * out_slots
         route_ns = ROUTE_NS * route_space
-        mode, extract_ns = (("flat", flat_ns) if flat_ns <= route_ns
+        mode, extract_ns = (("flat", flat_ns)
+                            if dup or flat_ns <= route_ns
                             else ("route", route_ns))
 
     stats = XFootStats(
         n_shards=n_shards, hot_total=H_tot, hot_own_max=Hmax,
         packet_pad=P_pad, packet_max=pack_max,
         remote_unique=remote_unique, send_real=send_real,
-        extract_mode=mode, extract_ns=extract_ns)
+        extract_mode=mode, extract_ns=extract_ns, hot_qmin=hot_qmin)
     return {
         "band_rows": band_rows, "r_x": r_x, "H_tot": H_tot,
         "hot_own": hot_own, "hot_off": hot_off, "hot_cols": hot_cols,
         "Hmax": Hmax, "packets": packets, "P": P_pad,
         "hot_lookup": hot_lookup, "route_space": route_space,
-        "stats": stats,
+        "dup": dup, "stats": stats,
     }
 
 
-def xfoot_stats(A: CsrMatrix, n_shards: int, itemsize: int = 4
-                ) -> XFootStats:
+def xfoot_stats(A: CsrMatrix, n_shards: int, itemsize: int = 4,
+                config: SBlasConfig = DEFAULT) -> XFootStats:
     """Exchange geometry only (no plan build / edge coloring) — feeds the
     scaling model real footprint bytes for the xfoot mode.  `itemsize`
     is accepted for API stability (geometry is dtype-independent)."""
     del itemsize
     require(n_shards >= 1, PartitionError, f"bad n_shards {n_shards}")
-    return _xfoot_analyze(A, n_shards)["stats"]
+    return _xfoot_analyze(A, n_shards, config.xfoot_hot_qmin)["stats"]
 
 
 def _remap_local(A: CsrMatrix, s: int, lay: dict) -> CsrMatrix:
@@ -253,7 +270,8 @@ def _remap_local(A: CsrMatrix, s: int, lay: dict) -> CsrMatrix:
     return CsrMatrix(rp, newc, A.values[lo:hi], (band_rows, w_ext))
 
 
-def xfoot_worst_local(A: CsrMatrix, n_shards: int):
+def xfoot_worst_local(A: CsrMatrix, n_shards: int,
+                      config: SBlasConfig = DEFAULT):
     """The remapped local CSR of the HEAVIEST shard (max nnz) plus the
     shared static routed sizes over all shards.
 
@@ -264,7 +282,7 @@ def xfoot_worst_local(A: CsrMatrix, n_shards: int):
     the shard_map program, so max-shard time + modeled exchange = t_n."""
     from ..ops.rspmv import routed_shard_sizes
     from .planned import shared_routed_sizes
-    lay = _xfoot_analyze(A, n_shards)
+    lay = _xfoot_analyze(A, n_shards, config.xfoot_hot_qmin)
     locals_ = [_remap_local(A, s, lay) for s in range(n_shards)]
     sizes = [routed_shard_sizes(sub) for sub in locals_]
     worst = int(np.argmax([sub.nnz for sub in locals_]))
@@ -323,7 +341,7 @@ def partition_xfoot(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
     from ..ops.route import build_route, route_tables_device
     require(n_shards >= 1, PartitionError, f"bad n_shards {n_shards}")
     m, n = A.shape
-    lay = _xfoot_analyze(A, n_shards)
+    lay = _xfoot_analyze(A, n_shards, config.xfoot_hot_qmin)
     band_rows, r_x = lay["band_rows"], lay["r_x"]
     H_tot, Hmax, Pp = lay["H_tot"], lay["Hmax"], lay["P"]
     hot_cols, hot_own, hot_off = (lay["hot_cols"], lay["hot_own"],
@@ -331,6 +349,10 @@ def partition_xfoot(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
     w_ext = r_x + H_tot + n_shards * Pp
     out_slots = Hmax + n_shards * Pp
     mode = extract or lay["stats"].extract_mode
+    require(not (mode == "route" and lay["dup"]), PartitionError,
+            "route extraction cannot express the duplicated packets a "
+            "forced xfoot_hot_qmin > 2 creates (Clos networks are "
+            "permutations — no multicast); use extract='flat'")
     if mode != lay["stats"].extract_mode:
         # keep the stats' modeled time consistent with the forced engine
         from ..scaling import GATHER_NS, ROUTE_NS

@@ -131,3 +131,35 @@ def test_single_shard():
     got = spmv_xfoot(shards, jnp.asarray(x.values), 3.0, 4.0,
                      jnp.asarray(y.values), mesh1)
     assert_equal(sync_to_host(got), spmv_cpu(A, x, 3.0, 4.0, y))
+
+
+def test_forced_hot_qmin_flat_oracle(mesh):
+    """A forced hot_qmin > 2 demotes low-q hot columns into DUPLICATED
+    packets; the flat extraction engine expresses that and stays
+    oracle-correct, while the routed engine (a permutation network)
+    must refuse rather than build a non-bijective map."""
+    from sblas_tpu.utils.errors import PartitionError
+
+    A = webbase_like(n=20_000, avg_deg=3.0, seed=3, local_scale=200.0,
+                     dtype=np.float64)
+    cfg = SBlasConfig(xfoot_hot_qmin=4)
+    shards = _check(A, mesh, config=cfg)
+    assert shards.stats.hot_qmin == 4
+    base = _check(A, mesh)
+    assert base.stats.hot_qmin == 2
+    # demotion shrinks the hot set and grows the packets
+    assert shards.hot_total < base.hot_total
+    assert shards.packet_pad >= base.packet_pad
+    with pytest.raises(PartitionError):
+        partition_xfoot(A, N_DEV, dtype=jnp.float64, config=cfg,
+                        extract="route")
+
+
+def test_default_hot_qmin_keeps_route_bijective(mesh):
+    """The default threshold (2) keeps q=1 packets + owner-unique hot —
+    a bijection the routed extraction engine can express."""
+    A = webbase_like(n=20_000, avg_deg=3.0, seed=5, local_scale=200.0,
+                     dtype=np.float64)
+    shards = _check(A, mesh, extract="route")
+    assert shards.extract_mode == "route"
+    assert shards.stats.hot_qmin == 2
