@@ -16,7 +16,11 @@ from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+# repo checkouts find native/ two levels up; installed wheels run the
+# numpy fallbacks unless SBLAS_NATIVE_DIR points at a native/ checkout
+_NATIVE_DIR = os.environ.get(
+    "SBLAS_NATIVE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libsblasio.so"))
 
 _lib: Optional[ctypes.CDLL] = None
