@@ -12,6 +12,11 @@ body jitted.  `--dist N` runs the same solve with the matrix nnz-sharded
 over an N-device mesh (`partition_row_plans` + `spmv_dist_planned`) —
 set SBLAS_FORCE_CPU_DEVICES=1 to use a virtual CPU mesh.
 
+This script keeps a HOST-side loop (progress prints + the measured
+dispatch-batching note in examples/pagerank.py); the library path is
+`sblas_tpu.solvers.cg`, which fuses the whole solve into one
+`lax.while_loop` dispatch.
+
 No reference analog: S-BLAS ships kernels only; this shows them composed.
 """
 

@@ -1,0 +1,153 @@
+"""Iterative solvers composed from the plan layer.
+
+The reference ships kernels only; production SpMV lives inside solver
+loops (a NEW operand every iteration — exactly what the build-once/
+run-many plans are for).  These run the WHOLE solve as one
+`lax.while_loop` under a single jit dispatch: on a remote TPU
+attachment each dispatch costs ~30 ms of host round trip, so a
+500-iteration CG as host-stepped dispatches pays ~15 s of pure
+overhead that the fused loop removes entirely.  (The examples/ scripts
+keep host-side loops for progress printing; this module is the
+library path.)
+
+Plans and shard containers are threaded through the jit as ARGUMENTS,
+never closure captures — captured arrays embed as HLO constants and
+overflow the remote-compile tunnel (HTTP 413 at a few hundred MB of
+route tables; CLAUDE.md).
+
+No reference analog (S-BLAS has no solver layer); the API follows
+scipy.sparse.linalg loosely (`cg(A, b) -> (x, info)` becomes a typed
+result).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class SolveResult(NamedTuple):
+    """Outcome of an iterative solve (host scalars, device solution)."""
+
+    x: jax.Array
+    iterations: int
+    residual: float      # cg: ||r||/||b||; pagerank: L1 delta
+    converged: bool
+
+
+def _matvec_of(A, mesh=None) -> tuple:
+    """Normalize `A` into (fn(operands, v) -> A@v, operands) with the
+    plan data passed as a pytree argument (see module docstring).
+
+    Accepts a single-chip plan (`make_plan` result), distributed shard
+    containers (`RowPlanShards` with `mesh`, `XFootShards` with `mesh`),
+    or a traceable callable v -> A@v (operands = ())."""
+    if callable(A) and not hasattr(A, "plan") and not hasattr(A, "shape"):
+        return (lambda _, v: A(v)), ()
+    from .parallel.planned import RowPlanShards
+    from .parallel.xfoot import XFootShards
+    if isinstance(A, RowPlanShards):
+        from .parallel.planned import spmv_dist_planned
+        from .utils.errors import PartitionError, require
+        require(mesh is not None, PartitionError,
+                "distributed shards need mesh=")
+        return (lambda sh, v: spmv_dist_planned(
+            sh, v, 1.0, 0.0, jnp.zeros(sh.shape[0], v.dtype), mesh)), A
+    if isinstance(A, XFootShards):
+        from .parallel.xfoot import spmv_xfoot
+        from .utils.errors import PartitionError, require
+        require(mesh is not None, PartitionError,
+                "distributed shards need mesh=")
+        return (lambda sh, v: spmv_xfoot(
+            sh, v, 1.0, 0.0, jnp.zeros(sh.shape[0], v.dtype), mesh)), A
+    from .ops import spmv
+    return (lambda p, v: spmv(p, v, 1.0, 0.0,
+                              jnp.zeros(p.shape[0], v.dtype))), A
+
+
+def cg(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
+       M: Optional[Callable] = None, mesh=None) -> SolveResult:
+    """Conjugate gradients for SPD A: one fused device loop.
+
+    `A` as in `_matvec_of`; `M` is an optional preconditioner callable
+    v -> M^-1 v (traceable).  Terminates when ||r|| <= tol * ||b|| or
+    at `maxiter`.  Returns the solution and host-fetched stats."""
+    matvec, operands = _matvec_of(A, mesh)
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    psolve = M if M is not None else (lambda v: v)
+
+    def run(ops_, b_, x_):
+        r = b_ - matvec(ops_, x_)
+        z = psolve(r)
+        p = r if M is None else z
+        rz = jnp.vdot(r, z)
+        b2 = jnp.vdot(b_, b_)
+        tol2 = (tol * tol) * b2
+
+        def cond(st):
+            _, r_, _, _, it = st
+            return (it < maxiter) & (jnp.vdot(r_, r_) > tol2)
+
+        def body(st):
+            x_c, r_c, p_c, rz_c, it = st
+            Ap = matvec(ops_, p_c)
+            alpha = rz_c / jnp.vdot(p_c, Ap)
+            x_n = x_c + alpha * p_c
+            r_n = r_c - alpha * Ap
+            z_n = psolve(r_n)
+            rz_n = jnp.vdot(r_n, z_n)
+            p_n = z_n + (rz_n / rz_c) * p_c
+            return x_n, r_n, p_n, rz_n, it + 1
+
+        x_f, r_f, _, _, it = lax.while_loop(
+            cond, body, (x_, r, p, rz, jnp.int32(0)))
+        rel = jnp.sqrt(jnp.vdot(r_f, r_f) / jnp.maximum(b2, 1e-300))
+        return x_f, it, rel
+
+    x, it, rel = jax.jit(run)(operands, b, x0)
+    it, rel = int(it), float(rel)
+    return SolveResult(x=x, iterations=it, residual=rel,
+                       converged=rel <= tol * 1.0000001)
+
+
+def pagerank(PT, n: int, *, dangling=None, damping: float = 0.85,
+             tol: float = 1e-8, maxiter: int = 200, r0=None,
+             mesh=None) -> SolveResult:
+    """Power iteration on a column-stochastic transition matrix.
+
+    `PT` is (a plan/shards/callable for) P^T, where edge i -> j
+    contributes 1/outdeg(i) at (j, i); `dangling` is the {0,1} mask of
+    zero-out-degree pages (their mass spreads uniformly).  Iterates
+    r' = damping * (P^T r + dangling_mass / n) + (1 - damping)/n until
+    the L1 change passes `tol` — all iterations inside one dispatch."""
+    matvec, operands = _matvec_of(PT, mesh)
+    dtype = r0.dtype if r0 is not None else jnp.float32
+    r0 = (jnp.full(n, 1.0 / n, dtype) if r0 is None
+          else jnp.asarray(r0))
+    dang = (jnp.zeros(n, r0.dtype) if dangling is None
+            else jnp.asarray(dangling, r0.dtype))
+    a = damping
+
+    def run(ops_, r_):
+        def cond(st):
+            _, delta, it = st
+            return (it < maxiter) & (delta > tol)
+
+        def body(st):
+            r_c, _, it = st
+            spread = matvec(ops_, r_c)
+            mass = jnp.vdot(dang, r_c)
+            r_n = a * (spread + mass / n) + (1.0 - a) / n
+            return r_n, jnp.abs(r_n - r_c).sum(), it + 1
+
+        return lax.while_loop(
+            cond, body, (r_, jnp.asarray(jnp.inf, r_.dtype), jnp.int32(0)))
+
+    r, delta, it = jax.jit(run)(operands, r0)
+    it, delta = int(it), float(delta)
+    return SolveResult(x=r, iterations=it, residual=delta,
+                       converged=delta <= tol)
