@@ -114,6 +114,62 @@ def cg(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
                        converged=rel <= tol * 1.0000001)
 
 
+def bicgstab(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
+             mesh=None) -> SolveResult:
+    """BiCGSTAB for general (nonsymmetric) A — the webbase-class
+    matrices this framework targets are directed graphs, so CG's SPD
+    requirement often fails; this is the standard Krylov fallback.
+    Same fused single-dispatch loop and `A` forms as `cg`.
+
+    Breakdown (rho or omega ~ 0) exits the loop with the current
+    iterate; `converged` then reports honestly from the residual."""
+    matvec, operands = _matvec_of(A, mesh)
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    def run(ops_, b_, x_):
+        r = b_ - matvec(ops_, x_)
+        rhat = r  # shadow residual fixed at r0
+        b2 = jnp.vdot(b_, b_)
+        tol2 = (tol * tol) * b2
+        eps = jnp.asarray(1e-300, b_.dtype)
+
+        def cond(st):
+            _, r_, _, _, _, _, _, it, alive = st
+            return alive & (it < maxiter) & (jnp.vdot(r_, r_) > tol2)
+
+        def body(st):
+            x_c, r_c, p_c, v_c, rho_c, alpha_c, omega_c, it, _ = st
+            rho_n = jnp.vdot(rhat, r_c)
+            beta = (rho_n / rho_c) * (alpha_c / omega_c)
+            p_n = r_c + beta * (p_c - omega_c * v_c)
+            v_n = matvec(ops_, p_n)
+            alpha = rho_n / jnp.vdot(rhat, v_n)
+            s = r_c - alpha * v_n
+            t = matvec(ops_, s)
+            tt = jnp.vdot(t, t)
+            omega_n = jnp.vdot(t, s) / jnp.maximum(tt, eps)
+            x_n = x_c + alpha * p_n + omega_n * s
+            r_n = s - omega_n * t
+            alive = (jnp.abs(rho_n) > eps) & (jnp.abs(omega_n) > eps)
+            return (x_n, r_n, p_n, v_n, rho_n, alpha, omega_n, it + 1,
+                    alive)
+
+        one = jnp.asarray(1.0, b_.dtype)
+        zero = jnp.zeros_like(b_)
+        x_f, r_f, *_, it, _ = lax.while_loop(
+            cond, body,
+            (x_, r, zero, zero, one, one, one, jnp.int32(0),
+             jnp.asarray(True)))
+        rel = jnp.sqrt(jnp.vdot(r_f, r_f) / jnp.maximum(b2, 1e-300))
+        return x_f, it, rel
+
+    x, it, rel = jax.jit(run)(operands, b, x0)
+    it, rel = int(it), float(rel)
+    return SolveResult(x=x, iterations=it, residual=rel,
+                       converged=rel <= tol * 1.0000001)
+
+
 def pagerank(PT, n: int, *, dangling=None, damping: float = 0.85,
              tol: float = 1e-8, maxiter: int = 200, r0=None,
              mesh=None) -> SolveResult:

@@ -129,3 +129,48 @@ def test_pagerank_matches_numpy_power_iteration():
             break
         rr = r_new
     np.testing.assert_allclose(r, rr, rtol=1e-8, atol=1e-12)
+
+
+def _nonsym(n=800, seed=5):
+    """Nonsymmetric directed-graph pattern + diagonal dominance."""
+    G = webbase_like(n=n, avg_deg=4.0, seed=seed, local_scale=40.0,
+                     dtype=np.float64)
+    coo = G.to_coo()
+    rowsum = np.zeros(n)
+    np.add.at(rowsum, coo.row_idx, np.abs(coo.values))
+    d = np.arange(n)
+    return CooMatrix(np.concatenate([coo.row_idx, d]),
+                     np.concatenate([coo.col_idx, d]),
+                     np.concatenate([coo.values, 1.0 + rowsum]),
+                     (n, n)).to_csr()
+
+
+def test_bicgstab_nonsymmetric():
+    from sblas_tpu.solvers import bicgstab
+    A = _nonsym()
+    n = A.shape[0]
+    rng = np.random.RandomState(3)
+    x_true = rng.standard_normal(n)
+    dense = np.zeros((n, n))
+    coo = A.to_coo()
+    dense[coo.row_idx, coo.col_idx] = coo.values
+    assert not np.allclose(dense, dense.T)  # genuinely nonsymmetric
+    b = dense @ x_true
+    plan = make_plan(A, dtype=jnp.float64, op="spmv")
+    res = bicgstab(plan, jnp.asarray(b), tol=1e-10, maxiter=2000)
+    assert res.converged and res.iterations < 2000
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_bicgstab_distributed_matches_cg_on_spd(spd):
+    from sblas_tpu.parallel import make_mesh, partition_xfoot
+    from sblas_tpu.solvers import bicgstab
+    A, x_true, b = spd
+    mesh = make_mesh(N_DEV)
+    shards = partition_xfoot(A, N_DEV, dtype=jnp.float64)
+    res = bicgstab(shards, jnp.asarray(b), tol=1e-10, maxiter=3000,
+                   mesh=mesh)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6,
+                               atol=1e-8)
