@@ -1,13 +1,17 @@
 """SpMM driver — argv contract of the reference's spmm_test binary.
 
-    python -m sblas_tpu.cli.spmm_test <method 1|2|2p> <A.mtx> <B_width>
-                                      <alpha> <beta> <n_devices> [dtype]
+    python -m sblas_tpu.cli.spmm_test <method 1|2|2p|halo> <A.mtx>
+                                      <B_width> <alpha> <beta> <n_devices>
+                                      [dtype]
 
 Mirrors spmm_test.cu:95-124: method 1 = partition dense B (no comm,
 spmmCsrTest spmm_test.cu:19-56), method 2 = partition sparse A + sum
 collective (spmmCsrTest2 spmm_test.cu:58-93).  Method 2p is mode 2 with
-per-shard fast plans (parallel/planned.py; no reference analog).  Every
-run verifies against the CPU oracle and prints Load/Run/CPU times.
+per-shard fast plans (parallel/planned.py; no reference analog); method
+halo is the row-block + ppermute B-exchange SpMM over per-shard DIA
+plans (square A; the banded scaling mode — constant comm in n where
+mode 2 all-reduces the full C).  Every run verifies against the CPU
+oracle and prints Load/Run/CPU times.
 """
 
 from __future__ import annotations
@@ -17,8 +21,8 @@ import sys
 from .common import finish, positional, setup_devices
 
 USAGE = ("usage: python -m sblas_tpu.cli.spmm_test "
-         "<method 1|2|2p> <A.mtx> <B_width> <alpha> <beta> <n_devices> "
-         "[f32|f64]")
+         "<method 1|2|2p|halo> <A.mtx> <B_width> <alpha> <beta> "
+         "<n_devices> [f32|f64]")
 
 
 def main(argv=None) -> int:
@@ -37,7 +41,8 @@ def main(argv=None) -> int:
     from ..containers import CsrMatrix, DenseMatrix, MajorOrder
     from ..ops import make_plan
     from ..ops.cpu_reference import spmm_cpu
-    from ..parallel import (partition_row_plans, spmm_mode1, spmm_mode2,
+    from ..parallel import (partition_halo_dia, partition_row_plans,
+                            spmm_halo_planned, spmm_mode1, spmm_mode2,
                             spmm_mode2_planned, sync_to_host)
     from ..partition import partition_nnz_balanced, partition_report
     from ..utils.timing import gflops, spmm_flops, timed
@@ -59,6 +64,10 @@ def main(argv=None) -> int:
             shards = partition_row_plans(A, n, dtype=jnp_dtype)
             print(f"per-shard plans: kind={shards.kind}, "
                   f"band_rows={shards.band_rows}")
+        elif method == "halo":
+            hshards = partition_halo_dia(A, n, dtype=jnp_dtype)
+            print(f"halo DIA shards: {len(hshards.plan.offsets)} "
+                  f"diagonals, block {hshards.rows_per_shard}")
         else:
             segs = partition_nnz_balanced(A, n, dtype=jnp_dtype)
             print(partition_report(segs))
@@ -71,15 +80,19 @@ def main(argv=None) -> int:
         "1": lambda: spmm_mode1(plan, Bd, alpha, beta, Cd, mesh),
         "2": lambda: spmm_mode2(segs, Bd, alpha, beta, Cd, mesh),
         "2p": lambda: spmm_mode2_planned(shards, Bd, alpha, beta, Cd, mesh),
+        "halo": lambda: spmm_halo_planned(hshards, Bd, alpha, beta, Cd,
+                                          mesh),
     }[method]
     run_c = {
         "1": lambda e, o, pl: spmm_mode1(pl, Bd + e, alpha, beta, o, mesh),
         "2": lambda e, o, sg: spmm_mode2(sg, Bd + e, alpha, beta, o, mesh),
         "2p": lambda e, o, sh: spmm_mode2_planned(sh, Bd + e, alpha, beta,
                                                   o, mesh),
+        "halo": lambda e, o, hs: spmm_halo_planned(hs, Bd + e, alpha,
+                                                   beta, o, mesh),
     }[method]
     operands = {"1": lambda: plan, "2": lambda: segs,
-                "2p": lambda: shards}[method]()
+                "2p": lambda: shards, "halo": lambda: hshards}[method]()
     run()  # compile + first run (the reference times a cold run; we
     # report the steady-state run, plus GFLOPs the reference omits)
     ms, got, est = steady_run_ms(run, run_c, operands)

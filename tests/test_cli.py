@@ -21,7 +21,7 @@ def mtx_path(tmp_path_factory):
     return str(path)
 
 
-@pytest.mark.parametrize("method", ["1", "2", "2p"])
+@pytest.mark.parametrize("method", ["1", "2", "2p", "halo"])
 def test_spmm_cli(mtx_path, method, capsys):
     from sblas_tpu.cli.spmm_test import main
     rc = main([method, mtx_path, "8", "3.0", "4.0", "4", "f64"])
