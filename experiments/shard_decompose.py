@@ -111,6 +111,22 @@ def main() -> int:
 
         t("mainroute", mainroute, contrib, (plan,))
 
+        # bf16 TRANSPORT probe: the route passes are HBM-bound, so
+        # half-width values should ~halve them — the candidate for an
+        # opt-in reduced-precision routed mode (accuracy ~2^-9 rel per
+        # contribution is AT the 1e-3 bar, so opt-in only).  Interpret
+        # mode lies about Mosaic bf16 support: chip-only measurement.
+        contrib16 = jnp.zeros(plan.route_n, jnp.bfloat16)
+
+        def mainroute16(c, p):
+            return apply_route(p.schedule, c, p.tables)
+
+        try:
+            t("mainrt-bf16", mainroute16, contrib16, (plan,))
+        except Exception as e:
+            print(f"  mainrt-bf16 FAILED: {type(e).__name__}: "
+                  f"{str(e)[:160]}")
+
         stack = jnp.zeros((plan.n_srows, 128), jnp.float32)
 
         def segsum(c, p):
