@@ -2,15 +2,19 @@
 
     python -m sblas_tpu.cli.spmv_test <A.mtx> <alpha> <beta> <n_devices>
                                       [f32|f64]
-                                      [--mode dist|distp|halo|halop|xfoot|single]
-                                      [--plan-cache PATH]
+                                      [--mode dist|distp|halo|halop|xfoot|
+                                              hier|single]
+                                      [--slices S] [--plan-cache PATH]
 
 Mirrors spmv_test.cu:44-60 (spmvCsrTest :9-42): A nnz-segmented, x/y
 replicated, partial-y sum collective, CPU-oracle verification.  `--mode
 halo` selects the row-block + ppermute x-exchange variant (BASELINE.md
 config 4); `distp`/`halop` run the same strategies with per-shard fast
 plans (parallel/planned.py); `--mode xfoot` the footprint-compressed
-x-exchange (parallel/xfoot.py); `--mode single` the single-chip kernel.
+x-exchange (parallel/xfoot.py); `--mode hier` the two-tier
+(slice, chip) mode over an S x n/S mesh (`--slices`, default 2 —
+ICI reduce-scatter in-slice, DCN psum across; parallel/hier.py);
+`--mode single` the single-chip kernel.
 `--plan-cache` persists the built plan/shards (FFTW-wisdom style,
 io/plancache.py): first run builds and saves, later runs load — the
 analysis (routed edge coloring: seconds-to-minutes at scale) is paid
@@ -26,8 +30,8 @@ from .common import finish, positional, setup_devices
 
 USAGE = ("usage: python -m sblas_tpu.cli.spmv_test "
          "<A.mtx> <alpha> <beta> <n_devices> [f32|f64] "
-         "[--mode dist|distp|halo|halop|xfoot|single] "
-         "[--plan-cache PATH]")
+         "[--mode dist|distp|halo|halop|xfoot|hier|single] "
+         "[--slices S] [--plan-cache PATH]")
 
 
 def main(argv=None) -> int:
@@ -42,6 +46,9 @@ def main(argv=None) -> int:
     cache_path = None
     if "--plan-cache" in rest:
         cache_path = rest[rest.index("--plan-cache") + 1]
+    slices = 2
+    if "--slices" in rest:
+        slices = int(rest[rest.index("--slices") + 1])
 
     from .common import ensure_dtype
     ensure_dtype(dtype_name)
@@ -53,8 +60,9 @@ def main(argv=None) -> int:
     from ..containers import CsrMatrix, DenseVector
     from ..ops import make_plan, spmv
     from ..ops.cpu_reference import spmv_cpu
-    from ..parallel import (partition_halo_dia, partition_row_plans,
-                            partition_xfoot, spmv_dist, spmv_dist_planned,
+    from ..parallel import (make_mesh2, partition_halo_dia,
+                            partition_row_plans, partition_xfoot,
+                            spmv_dist, spmv_dist_hier, spmv_dist_planned,
                             spmv_halo, spmv_halo_planned, spmv_xfoot,
                             sync_to_host)
     from ..partition import (partition_nnz_balanced, partition_report,
@@ -123,6 +131,15 @@ def main(argv=None) -> int:
             print(f"xfoot shards: kind={xshards.kind}, hot {st.hot_total},"
                   f" packets {st.packet_pad}/pair, extract "
                   f"{st.extract_mode}")
+        elif mode == "hier":
+            from ..utils.errors import PartitionError, require
+            require(n % slices == 0 and n // slices >= 1, PartitionError,
+                    f"--slices {slices} does not divide {n} devices")
+            mesh2 = make_mesh2(slices, n // slices)
+            shards = cached(lambda: partition_row_plans(
+                A, n, dtype=jnp_dtype, op="spmv"))
+            print(f"hier {slices}x{n // slices}: per-shard plans "
+                  f"kind={shards.kind}")
         else:
             plan = cached(lambda: make_plan(A, dtype=jnp_dtype, op="spmv"))
     print(f"Matrix: {A.height} x {A.width}, nnz {A.nnz}, {n} device(s), "
@@ -138,6 +155,8 @@ def main(argv=None) -> int:
         "halop": lambda: spmv_halo_planned(hshards, xd, alpha, beta, yd,
                                            mesh),
         "xfoot": lambda: spmv_xfoot(xshards, xd, alpha, beta, yd, mesh),
+        "hier": lambda: spmv_dist_hier(shards, xd, alpha, beta, yd,
+                                       mesh2),
         "single": lambda: spmv(plan, xd, alpha, beta, yd),
     }[mode]
     run_c = {
@@ -151,11 +170,13 @@ def main(argv=None) -> int:
                                                     beta, o, mesh),
         "xfoot": lambda e, o, xs: spmv_xfoot(xs, xd + e, alpha, beta, o,
                                              mesh),
+        "hier": lambda e, o, sh: spmv_dist_hier(sh, xd + e, alpha, beta,
+                                                o, mesh2),
         "single": lambda e, o, pl: spmv(pl, xd + e, alpha, beta, o),
     }[mode]
     operands = {"dist": lambda: segs, "distp": lambda: shards,
                 "halo": lambda: blocks, "halop": lambda: hshards,
-                "xfoot": lambda: xshards,
+                "xfoot": lambda: xshards, "hier": lambda: shards,
                 "single": lambda: plan}[mode]()
     run()  # compile
     ms, got, est = steady_run_ms(run, run_c, operands)

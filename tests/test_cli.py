@@ -31,7 +31,7 @@ def test_spmm_cli(mtx_path, method, capsys):
 
 
 @pytest.mark.parametrize("mode", ["dist", "distp", "halo", "halop",
-                                  "xfoot", "single"])
+                                  "xfoot", "hier", "single"])
 def test_spmv_cli(mtx_path, mode, capsys):
     from sblas_tpu.cli.spmv_test import main
     rc = main([mtx_path, "3.0", "4.0", "4", "f64", "--mode", mode])
