@@ -185,14 +185,20 @@ def main(argv=None) -> int:
 
     # comm/compute phase split (reference prints per-GPU NCCL time,
     # spmv.h:112-128): exposed collective cost = full run - nocomm run
-    if mode in ("dist", "distp") and n > 1:
-        from ..parallel import spmv_dist_nocomm, spmv_dist_planned_nocomm
-        nc = (lambda: spmv_dist_nocomm(segs, xd, mesh)) if mode == "dist" \
-            else (lambda: spmv_dist_planned_nocomm(shards, xd, mesh))
-        nc_c = (lambda e, o, sg: spmv_dist_nocomm(sg, xd + e, mesh)) \
-            if mode == "dist" \
-            else (lambda e, o, sh: spmv_dist_planned_nocomm(sh, xd + e,
-                                                            mesh))
+    if mode in ("dist", "distp", "xfoot") and n > 1:
+        from ..parallel import (spmv_dist_nocomm, spmv_dist_planned_nocomm,
+                                spmv_xfoot_nocomm)
+        nc = {"dist": lambda: spmv_dist_nocomm(segs, xd, mesh),
+              "distp": lambda: spmv_dist_planned_nocomm(shards, xd, mesh),
+              "xfoot": lambda: spmv_xfoot_nocomm(xshards, xd, mesh),
+              }[mode]
+        nc_c = {"dist": lambda e, o, sg: spmv_dist_nocomm(sg, xd + e,
+                                                          mesh),
+                "distp": lambda e, o, sh: spmv_dist_planned_nocomm(
+                    sh, xd + e, mesh),
+                "xfoot": lambda e, o, xs: spmv_xfoot_nocomm(xs, xd + e,
+                                                            mesh),
+                }[mode]
         nc()  # compile
         # same estimator as the full run: a wall number (includes the
         # dispatch round trip) minus a loop number (excludes it) would

@@ -16,4 +16,4 @@ from .planned import (HaloDiaShards, RowPlanShards, partition_halo_dia,  # noqa:
 from .hier import (make_mesh2, spmm_mode2_hier,  # noqa: F401
                    spmv_dist_hier)
 from .xfoot import (XFootShards, XFootStats, partition_xfoot,  # noqa: F401
-                    spmv_xfoot, xfoot_stats)
+                    spmv_xfoot, spmv_xfoot_nocomm, xfoot_stats)

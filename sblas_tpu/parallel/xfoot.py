@@ -435,7 +435,8 @@ def partition_xfoot(A: CsrMatrix, n_shards: int, dtype=jnp.float32,
 @functools.lru_cache(maxsize=None)
 def _xfoot_program(mesh: Mesh, axis: str, kind: str, hot_total: int,
                    hot_own_max: int, packet_pad: int, extract_mode: str,
-                   xroute_schedule: Tuple, xroute_n: int):
+                   xroute_schedule: Tuple, xroute_n: int,
+                   nocomm: bool = False):
     from ..ops.route import apply_route
     n = mesh.shape[axis]
     out_slots = hot_own_max + n * packet_pad
@@ -458,11 +459,15 @@ def _xfoot_program(mesh: Mesh, axis: str, kind: str, hot_total: int,
             buf = jnp.zeros(hot_total + hot_own_max, x_blk.dtype)
             buf = lax.dynamic_update_slice(buf, seg,
                                            (shards.hot_put[0, 0],))
-            parts.append(lax.psum(buf[:hot_total], axis))
+            hot = buf[:hot_total]
+            # nocomm diagnostic twin: keep extraction + local compute,
+            # drop only the collectives (comm split for the drivers;
+            # reference prints per-GPU NCCL time, spmv.h:112-128)
+            parts.append(hot if nocomm else lax.psum(hot, axis))
         if packet_pad:
-            recv = lax.all_to_all(
-                packed[hot_own_max:].reshape(n, packet_pad), axis,
-                split_axis=0, concat_axis=0)
+            send = packed[hot_own_max:].reshape(n, packet_pad)
+            recv = send if nocomm else lax.all_to_all(
+                send, axis, split_axis=0, concat_axis=0)
             parts.append(recv.reshape(-1))
         x_ext = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         local = _local_spmv(kind, plan, x_ext)
@@ -496,3 +501,22 @@ def spmv_xfoot(shards: XFootShards, x, alpha, beta, y, mesh: Mesh,
                           shards.extract_mode, shards.xroute_schedule,
                           shards.xroute_n)
     return prog(shards, x_p, y_p, alpha, beta)[:m]
+
+
+def spmv_xfoot_nocomm(shards: XFootShards, x, mesh: Mesh,
+                      axis: str = DEFAULT_AXIS) -> jax.Array:
+    """Diagnostic twin of `spmv_xfoot` with the collectives dropped
+    (extraction and local compute kept): exposed exchange cost = full
+    run - this.  Values are WRONG wherever remote columns matter —
+    timing only (the same contract as the other nocomm twins)."""
+    n = mesh.shape[axis]
+    require(shards.n_shards == n, PartitionError,
+            f"shards built for {shards.n_shards} shards, mesh has {n}")
+    m = shards.shape[0]
+    x_p = jnp.pad(x, (0, shards.r_x * n - x.shape[0]))
+    y_p = jnp.zeros(shards.band_rows * n, x_p.dtype)
+    prog = _xfoot_program(mesh, axis, shards.kind, shards.hot_total,
+                          shards.hot_own_max, shards.packet_pad,
+                          shards.extract_mode, shards.xroute_schedule,
+                          shards.xroute_n, nocomm=True)
+    return prog(shards, x_p, y_p, 1.0, 0.0)[:m]

@@ -163,3 +163,24 @@ def test_default_hot_qmin_keeps_route_bijective(mesh):
     shards = _check(A, mesh, extract="route")
     assert shards.extract_mode == "route"
     assert shards.stats.hot_qmin == 2
+
+
+def test_nocomm_twin_shapes_and_local_band(mesh):
+    """The nocomm diagnostic keeps extraction + local compute and drops
+    only the collectives: output shape matches the real run, and a
+    BANDED matrix whose shard 0 happens to reference only its own block
+    agrees exactly on that band (remote-dependent rows are timing-only
+    garbage by contract)."""
+    from sblas_tpu.parallel import spmv_xfoot_nocomm
+    A = fem_banded_like(n=1024, half_band=5, dtype=np.float64)
+    shards = partition_xfoot(A, N_DEV, dtype=jnp.float64)
+    x = DenseVector.random(A.width)
+    full = spmv_xfoot(shards, jnp.asarray(x.values), 1.0, 0.0,
+                      jnp.zeros(A.height), mesh)
+    nc = spmv_xfoot_nocomm(shards, jnp.asarray(x.values), mesh)
+    assert nc.shape == full.shape
+    # interior rows of shard 0 depend only on own-block x
+    got = sync_to_host(nc)
+    want = sync_to_host(full)
+    interior = slice(8, shards.band_rows - 8)
+    np.testing.assert_allclose(got[interior], want[interior])
