@@ -159,6 +159,15 @@ class CsrMatrix:
         return CsrMatrix(self.row_ptr, self.col_idx,
                          self.values.astype(dtype), self.shape)
 
+    def transpose(self) -> "CsrMatrix":
+        """A^T as CSR — structurally CSC(A)'s arrays reinterpreted
+        (CSR(A^T).row_ptr == CSC(A).col_ptr), one sort-based pass.
+        What a PageRank-style `P^T @ r` build needs (the reference has
+        no transpose; its CsrToCsc, matrix.h:40-64, is the same math)."""
+        csc = self.to_csc()
+        return CsrMatrix(csc.col_ptr, csc.row_idx, csc.values,
+                         (self.shape[1], self.shape[0]))
+
 
 @dataclasses.dataclass(frozen=True)
 class CscMatrix:

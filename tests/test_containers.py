@@ -95,3 +95,15 @@ def test_shape_validation():
     with pytest.raises(ShapeError):
         CsrMatrix(np.zeros(3, np.int64), np.zeros(0, np.int64),
                   np.zeros(0), (5, 5))
+
+
+def test_csr_transpose():
+    rng = np.random.default_rng(9)
+    dense = np.where(rng.random((37, 23)) < 0.15,
+                     rng.standard_normal((37, 23)), 0.0)
+    A = CsrMatrix.from_dense(dense)
+    At = A.transpose()
+    assert At.shape == (23, 37)
+    np.testing.assert_array_equal(At.to_dense(), dense.T)
+    # involution
+    np.testing.assert_array_equal(At.transpose().to_dense(), dense)
