@@ -77,4 +77,52 @@ print('vma_check_ok(wcoo) =', vma_check_ok('wcoo'),
       'compiled+ran, out', out.shape, float(out.sum()))
 "
 
+# 8. solver layer on the chip: the fused while_loop solve vs the
+# host-stepped loop (the attachment serializes deep ASYNC chains badly,
+# but one while_loop program is the loop_time_ms pattern — verify +
+# time both on a real workload)
+step solvers 1800 python -c "
+import time
+import numpy as np, jax, jax.numpy as jnp
+from sblas_tpu.containers import CooMatrix
+from sblas_tpu.io.generate import webbase_like
+from sblas_tpu.ops import make_plan, spmv
+from sblas_tpu.solvers import pagerank
+G = webbase_like(n=100_000, avg_deg=3.1, local_scale=2000.0)
+n = G.shape[0]
+coo = G.to_coo()
+outdeg = np.maximum(G.row_nnz, 1).astype(np.float64)
+PT = CooMatrix(coo.col_idx, coo.row_idx,
+               (1.0 / outdeg[coo.row_idx]).astype(np.float32),
+               (n, n)).to_csr()
+dang = jnp.asarray((G.row_nnz == 0).astype(np.float32))
+plan = make_plan(PT, dtype=jnp.float32, op='spmv')
+t0 = time.time()
+res = pagerank(plan, n, dangling=dang, damping=0.85, tol=1e-8,
+               maxiter=200)
+t_fused = time.time() - t0
+print(f'fused pagerank: {res.iterations} iters {t_fused:.2f}s '
+      f'converged={res.converged} sum={float(res.x.sum()):.6f}')
+# host-stepped twin for comparison (the examples/ pattern)
+a = 0.85
+@jax.jit
+def step(r, p):
+    spread = spmv(p, r, 1.0, 0.0, jnp.zeros_like(r))
+    mass = jnp.vdot(dang, r)
+    rn = a * (spread + mass / n) + (1.0 - a) / n
+    return rn, jnp.abs(rn - r).sum()
+r = jnp.full(n, 1.0 / n, jnp.float32)
+step(r, plan)  # compile
+t0 = time.time()
+it, delta = 0, 1.0
+while it < 200 and delta > 1e-8:
+    r, d = step(r, plan)
+    it += 1
+    delta = float(d)
+print(f'host-stepped:   {it} iters {time.time()-t0:.2f}s '
+      f'delta={delta:.2e}')
+rel = float(jnp.abs(res.x - r).sum())
+print(f'L1 diff fused vs stepped: {rel:.2e}')
+"
+
 echo "queue complete: see $LOG"
