@@ -38,15 +38,20 @@ class SolveResult(NamedTuple):
     converged: bool
 
 
-def _matvec_of(A, mesh=None) -> tuple:
+def _matvec_of(A, mesh=None, dtype=None) -> tuple:
     """Normalize `A` into (fn(operands, v) -> A@v, operands) with the
     plan data passed as a pytree argument (see module docstring).
 
-    Accepts a single-chip plan (`make_plan` result), distributed shard
-    containers (`RowPlanShards` with `mesh`, `XFootShards` with `mesh`),
-    or a traceable callable v -> A@v (operands = ())."""
+    Accepts a raw `CsrMatrix` (planned here via `make_plan`), a
+    single-chip plan (`make_plan` result), distributed shard containers
+    (`RowPlanShards` with `mesh`, `XFootShards` with `mesh`), or a
+    traceable callable v -> A@v (operands = ())."""
     if callable(A) and not hasattr(A, "plan") and not hasattr(A, "shape"):
         return (lambda _, v: A(v)), ()
+    from .containers import CsrMatrix
+    if isinstance(A, CsrMatrix):
+        from .ops import make_plan
+        A = make_plan(A, dtype=dtype or jnp.float32, op="spmv")
     from .parallel.planned import RowPlanShards
     from .parallel.xfoot import XFootShards
     if isinstance(A, RowPlanShards):
@@ -75,8 +80,8 @@ def cg(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
     `A` as in `_matvec_of`; `M` is an optional preconditioner callable
     v -> M^-1 v (traceable).  Terminates when ||r|| <= tol * ||b|| or
     at `maxiter`.  Returns the solution and host-fetched stats."""
-    matvec, operands = _matvec_of(A, mesh)
     b = jnp.asarray(b)
+    matvec, operands = _matvec_of(A, mesh, b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     psolve = M if M is not None else (lambda v: v)
 
@@ -123,8 +128,8 @@ def bicgstab(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
 
     Breakdown (rho or omega ~ 0) exits the loop with the current
     iterate; `converged` then reports honestly from the residual."""
-    matvec, operands = _matvec_of(A, mesh)
     b = jnp.asarray(b)
+    matvec, operands = _matvec_of(A, mesh, b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
 
     def run(ops_, b_, x_):
@@ -180,15 +185,17 @@ def pagerank(PT, n: int, *, dangling=None, damping: float = 0.85,
     zero-out-degree pages (their mass spreads uniformly).  Iterates
     r' = damping * (P^T r + dangling_mass / n) + (1 - damping)/n until
     the L1 change passes `tol` — all iterations inside one dispatch."""
-    matvec, operands = _matvec_of(PT, mesh)
     dtype = r0.dtype if r0 is not None else jnp.float32
+    matvec, operands = _matvec_of(PT, mesh, dtype)
     r0 = (jnp.full(n, 1.0 / n, dtype) if r0 is None
           else jnp.asarray(r0))
     dang = (jnp.zeros(n, r0.dtype) if dangling is None
             else jnp.asarray(dangling, r0.dtype))
     a = damping
 
-    def run(ops_, r_):
+    def run(ops_, r_, dang_):
+        # dang_ is an argument, not a capture: a captured n-vector would
+        # embed as an HLO constant (the module's no-closure rule)
         def cond(st):
             _, delta, it = st
             return (it < maxiter) & (delta > tol)
@@ -196,14 +203,14 @@ def pagerank(PT, n: int, *, dangling=None, damping: float = 0.85,
         def body(st):
             r_c, _, it = st
             spread = matvec(ops_, r_c)
-            mass = jnp.vdot(dang, r_c)
+            mass = jnp.vdot(dang_, r_c)
             r_n = a * (spread + mass / n) + (1.0 - a) / n
             return r_n, jnp.abs(r_n - r_c).sum(), it + 1
 
         return lax.while_loop(
             cond, body, (r_, jnp.asarray(jnp.inf, r_.dtype), jnp.int32(0)))
 
-    r, delta, it = jax.jit(run)(operands, r0)
+    r, delta, it = jax.jit(run)(operands, r0, dang)
     it, delta = int(it), float(delta)
     return SolveResult(x=r, iterations=it, residual=delta,
                        converged=delta <= tol)

@@ -174,3 +174,17 @@ def test_bicgstab_distributed_matches_cg_on_spd(spd):
     assert res.converged
     np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6,
                                atol=1e-8)
+
+
+def test_cg_accepts_raw_csr():
+    """A raw CsrMatrix is planned internally (dtype follows b)."""
+    A = _spd(n=400)
+    rng = np.random.RandomState(1)
+    x_true = rng.standard_normal(A.shape[0])
+    dense = np.zeros(A.shape)
+    coo = A.to_coo()
+    dense[coo.row_idx, coo.col_idx] = coo.values
+    res = cg(A, jnp.asarray(dense @ x_true), tol=1e-10, maxiter=2000)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6,
+                               atol=1e-8)
