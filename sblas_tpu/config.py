@@ -99,6 +99,18 @@ class SBlasConfig:
     # KB/chip).  >= 2 forces a fixed threshold.
     xfoot_hot_qmin: int = 0
 
+    # Route-transport precision for the routed SpMV engine: "f32" (default)
+    # routes contributions at the value dtype; "bf16" stores the gathered
+    # contributions as bfloat16 for the main route's HBM-bound passes and
+    # upcasts at the lane-stack reduce.  The route moves every nonzero
+    # through ~2*log128(N)-1 read+write passes, so halving the element
+    # width halves the dominant traffic of the permutation stage.  Opt-in
+    # reduced precision: each contribution gains a <= 2^-9 relative
+    # rounding (rows of similar-magnitude terms average to ~1e-4, but the
+    # worst case exceeds the reference's 1e-3 bar) — only valid with
+    # float32 values.
+    routed_transport: str = "f32"
+
     # Lane-stack depth cap for the routed engine: a row with more than
     # this many nonzeros is split across ceil(deg/cap) rank slots whose
     # partials merge in one small segment-sum before the unrank route.
@@ -134,6 +146,8 @@ class SBlasConfig:
             routed_relabel=os.environ.get("SBLAS_ROUTED_RELABEL",
                                           "1") != "0",
             routed_stack_cap=_i("SBLAS_ROUTED_STACK_CAP", 256),
+            routed_transport=os.environ.get("SBLAS_ROUTED_TRANSPORT",
+                                            "f32"),
             xfoot_hot_qmin=_i("SBLAS_XFOOT_QMIN", 0),
         )
 

@@ -323,7 +323,7 @@ def routed_shard_sizes(A: CsrMatrix, config: SBlasConfig = DEFAULT):
          meta_fields=["schedule", "unrank_schedule", "xroute_schedule",
                       "shape", "nnz", "n_gtiles", "n_srows", "n_prows",
                       "n_blocks", "n_rank_pad", "merged", "route_n",
-                      "unrank_n", "xroute_n"])
+                      "unrank_n", "xroute_n", "transport"])
 @dataclasses.dataclass(frozen=True)
 class RoutedPlan:
     """Plan for the three-stage routed SpMV (see module docstring).
@@ -371,6 +371,9 @@ class RoutedPlan:
     route_n: int
     unrank_n: int
     xroute_n: int  # 0 = no balanced relabel (no residual entries)
+    # main-route element precision: "f32" (value dtype) or "bf16"
+    # (opt-in reduced-precision transport, config.routed_transport)
+    transport: str = "f32"
 
     @property
     def gather_fill(self) -> float:
@@ -405,6 +408,15 @@ class RoutedPlan:
         cols = coo.col_idx.astype(np.int32)
         np_val = np.dtype(jnp.dtype(dtype).name)
         vals_np = coo.values.astype(np_val)
+
+        transport = str(getattr(config, "routed_transport", "f32"))
+        require(transport in ("f32", "bf16"), PlanError,
+                f"routed_transport must be 'f32' or 'bf16', "
+                f"got {transport!r}")
+        require(transport == "f32" or np_val == np.float32, PlanError,
+                "bf16 route transport is only valid with float32 values "
+                "(f64 would lose 45 mantissa bits; bf16 values already "
+                "route at width)")
 
         # ---- hub peel: high-in-degree columns bypass the slab buckets ----
         peeled = _peel_split(cols, n, nnz, config.routed_peel_threshold)
@@ -525,7 +537,7 @@ class RoutedPlan:
             xroute_n=N_x,
             shape=A.shape, nnz=nnz, n_gtiles=T_g, n_srows=S, n_prows=R_p,
             n_blocks=n_blocks, n_rank_pad=m_padr, merged=merged,
-            route_n=prog.n, unrank_n=prog2.n)
+            route_n=prog.n, unrank_n=prog2.n, transport=transport)
 
     @classmethod
     def is_profitable(cls, A: CsrMatrix,
@@ -544,13 +556,17 @@ class RoutedPlan:
 def _gather_kernel(gslab_ref, slab_ref, idx_ref, vals_ref, out_ref):
     del gslab_ref  # consumed by the slab index map
     picked = jnp.take_along_axis(slab_ref[0], idx_ref[0], axis=1)
-    out_ref[0] = vals_ref[0] * picked
+    # cast-on-store: compute stays at the value dtype; the out dtype is
+    # the route-transport dtype (bf16 halves the HBM write here AND the
+    # read of the first route pass — an XLA-level cast after the kernel
+    # would instead add a full extra read+write pass over T_g*SLAB)
+    out_ref[0] = (vals_ref[0] * picked).astype(out_ref.dtype)
 
 
 def _tile_gather_kernel(tile_ref, idx_ref, vals_ref, out_ref):
     """Pre-gathered-slab variant (shard_map / check_vma path)."""
     picked = jnp.take_along_axis(tile_ref[0], idx_ref[0], axis=1)
-    out_ref[0] = vals_ref[0] * picked
+    out_ref[0] = (vals_ref[0] * picked).astype(out_ref.dtype)
 
 
 def _gathered_contrib(plan: RoutedPlan, x: jax.Array) -> jax.Array:
@@ -573,6 +589,8 @@ def _gathered_contrib(plan: RoutedPlan, x: jax.Array) -> jax.Array:
     T_g = plan.n_gtiles
     from .route import vma_union
     vma = vma_union(plan.gslab, plan.gidx, plan.gvals, x)
+    out_dtype = (jnp.bfloat16 if plan.transport == "bf16"
+                 else x_slabs.dtype)
 
     if vma:
         # shard_map context: the scalar-prefetch index map below slices a
@@ -593,7 +611,7 @@ def _gathered_contrib(plan: RoutedPlan, x: jax.Array) -> jax.Array:
             ],
             out_specs=pl.BlockSpec((1, LANES, LANES), lambda t: (t, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((T_g, LANES, LANES),
-                                           x_slabs.dtype, vma=vma),
+                                           out_dtype, vma=vma),
             interpret=_interpret(),
         )(x_tiles, plan.gidx, plan.gvals.astype(x_slabs.dtype))
         return out.reshape(-1)
@@ -612,7 +630,7 @@ def _gathered_contrib(plan: RoutedPlan, x: jax.Array) -> jax.Array:
         _gather_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (T_g, LANES, LANES), x_slabs.dtype, vma=vma),
+            (T_g, LANES, LANES), out_dtype, vma=vma),
         interpret=_interpret(),
     )(plan.gslab, x_slabs, plan.gidx, plan.gvals.astype(x_slabs.dtype))
     return out.reshape(-1)
@@ -627,12 +645,16 @@ def spmv_routed(plan: RoutedPlan, x: jax.Array, alpha, beta,
         # peeled hub columns: one x element per 128-lane row (row-granular
         # gather — the per-ROW cost XLA charges makes this 128x cheaper
         # than slot-granular addressing), broadcast across the row
-        xp = jnp.take(x, plan.prow_col, axis=0).astype(contrib.dtype)
-        pc = plan.pvals.astype(contrib.dtype) * xp[:, None]
+        # products form at the value dtype; only the STORE narrows under
+        # bf16 transport (casting x itself would square the rounding)
+        xp = jnp.take(x, plan.prow_col, axis=0)
+        pc = (plan.pvals.astype(x.dtype)
+              * xp[:, None]).astype(contrib.dtype)
         contrib = jnp.concatenate([contrib, pc.reshape(-1)])
     contrib = jnp.pad(contrib, (0, plan.route_n - contrib.shape[0]))
     routed = apply_route(plan.schedule, contrib, plan.tables)
-    stack = routed[: plan.n_srows * LANES].reshape(plan.n_srows, LANES)
+    stack = routed[: plan.n_srows * LANES].reshape(
+        plan.n_srows, LANES).astype(x.dtype)
     blocks = jax.ops.segment_sum(stack, plan.brow_ids,
                                  num_segments=plan.n_blocks,
                                  indices_are_sorted=True)

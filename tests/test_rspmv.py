@@ -250,6 +250,64 @@ class TestStackCapSplit:
         assert_equal(sync_to_host(got), spmv_cpu(A, x, 3.0, 4.0, y))
 
 
+class TestBf16Transport:
+    """Opt-in bf16 route transport (config.routed_transport="bf16"):
+    contributions form at f32, narrow only for the HBM-bound route
+    passes, and upcast at the lane-stack reduce.  Per-contribution
+    rounding is <= 2^-9 relative, so the oracle bar here is the
+    documented reduced-precision one (1e-2 relative), with the typical
+    error far below it."""
+
+    def _mat(self):
+        return webbase_like(n=50000, avg_deg=3.0, seed=31)
+
+    def test_verifies_against_f64_oracle(self):
+        A = self._mat()
+        cfg = SBlasConfig(routed_transport="bf16")
+        plan = RoutedPlan.from_csr(A, dtype=jnp.float32, config=cfg)
+        assert plan.transport == "bf16"
+        x = DenseVector.random(A.width)
+        y = DenseVector.constant(A.height, 1.0)
+        got = spmv_routed(plan, jnp.asarray(x.values, jnp.float32), 2.0,
+                          3.0, jnp.asarray(y.values, jnp.float32))
+        want = spmv_cpu(A, x, 2.0, 3.0, y)
+        assert_equal(np.asarray(got), want, error_bar=1e-2, relative=True)
+
+    def test_f32_plan_unchanged_by_default(self):
+        A = self._mat()
+        plan = RoutedPlan.from_csr(A, dtype=jnp.float32)
+        assert plan.transport == "f32"
+
+    def test_rejects_non_f32_values(self):
+        from sblas_tpu.utils.errors import PlanError
+        cfg = SBlasConfig(routed_transport="bf16")
+        with pytest.raises(PlanError):
+            RoutedPlan.from_csr(self._mat(), dtype=jnp.float64, config=cfg)
+
+    def test_rejects_unknown_transport(self):
+        from sblas_tpu.utils.errors import PlanError
+        cfg = SBlasConfig(routed_transport="f16")
+        with pytest.raises(PlanError):
+            RoutedPlan.from_csr(self._mat(), dtype=jnp.float32, config=cfg)
+
+    def test_plancache_roundtrip_preserves_transport(self, tmp_path):
+        from sblas_tpu.io.plancache import load_plan, save_plan
+        A = self._mat()
+        cfg = SBlasConfig(routed_transport="bf16")
+        plan = RoutedPlan.from_csr(A, dtype=jnp.float32, config=cfg)
+        p = str(tmp_path / "bf16_plan.npz")
+        save_plan(p, plan)
+        loaded = load_plan(p)
+        assert loaded.transport == "bf16"
+        x = DenseVector.random(A.width)
+        y = DenseVector.constant(A.height, 1.0)
+        a = spmv_routed(plan, jnp.asarray(x.values, jnp.float32), 1.0, 0.0,
+                        jnp.asarray(y.values, jnp.float32))
+        b = spmv_routed(loaded, jnp.asarray(x.values, jnp.float32), 1.0,
+                        0.0, jnp.asarray(y.values, jnp.float32))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_shared_routed_sizes_appendix_alignment():
     """A deep-primary/no-overflow shard stacked with a shallow/overflow
     shard: padding the first's appendix to the shared slot count adds
