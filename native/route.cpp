@@ -469,6 +469,145 @@ int sblas_edge_color(int32_t n_left, int32_t n_right, int64_t ne, int32_t d,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Fused route-level builder.
+//
+// One level of the route recursion (ops/route.py::rec) turns a block-local
+// permutation p (blocks of size bs) into three tables: the edge coloring
+// (emitted as the level's destination lane shuffle), the source lane
+// shuffle idx1, and — for the recursion — the next level's permutation q
+// (or, at the mix base case, the per-lane row table rho_local).  The
+// numpy formulation costs ~6 streaming passes over N plus an arange and a
+// bucketed scatter with materialized address/value temporaries (~3.6 s at
+// N=14.7M top level, measured); here each table is one fused pass:
+//
+//   * coloring inputs (src_row = p>>7, block-local) are generated into the
+//     per-block buffers directly — no global arange/dst_row arrays exist;
+//   * idx1[(p[i]>>7)*128 + color[i]] = p[i]&127 computes addresses on the
+//     fly inside the bucketed scatter (window <= bs, so levels below the
+//     top scatter directly into cache-resident block windows);
+//   * q fuses the rho scatter, the three-term src_t arithmetic and the
+//     per-block (A,128)->(128,A) transpose into one row-local write pass
+//     plus one 128x128-tiled transpose pass.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// local 128x128 tile transpose: q[b*bs + c*A + a] = srcT[(b*A+a)*128 + c]
+// + (b*bs + c*A), tiled so reads and writes both stream
+void emit_q_block(const int32_t* srcT, int64_t b, int64_t bs, int64_t A,
+                  int32_t* q) {
+  static int32_t buf[128 * 128];
+  const int64_t base = b * bs;
+  for (int64_t a0 = 0; a0 < A; a0 += 128) {
+    const int64_t ta = a0 + 128 <= A ? 128 : A - a0;
+    const int32_t* in = srcT + (b * A + a0) * 128;
+    for (int64_t a = 0; a < ta; ++a)
+      for (int64_t c = 0; c < 128; ++c)
+        buf[c * 128 + a] = in[a * 128 + c];
+    for (int64_t c = 0; c < 128; ++c) {
+      int32_t* out = q + base + c * A + a0;
+      const int32_t add = (int32_t)(base + c * A);
+      const int32_t* row = buf + c * 128;
+      for (int64_t a = 0; a < ta; ++a) out[a] = row[a] + add;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// One route level: inputs p (n, int32; permutation within blocks of bs)
+// and outputs color (n,), idx1 (n,) and qrho (n,).  When bs/128 <=
+// mix_max, qrho holds rho_local (the mix table) and the recursion stops;
+// otherwise qrho holds q, the next level's block-local permutation
+// (blocks of bs/128).  Returns 0 on success; nonzero codes mirror
+// sblas_edge_color_blocked.
+int sblas_route_level(int64_t n, int64_t bs, int32_t mix_max,
+                      const int32_t* p, int32_t* color, int32_t* idx1,
+                      int32_t* qrho) {
+  if (bs <= 128 || bs % 128 || n % bs || n >= ((int64_t)1 << 30)) return 2;
+  const char* fm = getenv("SBLAS_COLOR_FASTMIN");
+  g_fast_min = fm ? atoll(fm) : kFastMinDefault;
+  const int64_t A = bs >> 7;
+  const int64_t n_blocks = n / bs;
+  const int32_t npb = (int32_t)A;  // block-local rows per side
+
+  // ---- coloring, per block, inputs generated on the fly ----
+  ColorWork w;
+  std::vector<int32_t> bsrc(bs), bdst(bs);
+  for (int64_t k = 0; k < bs; ++k) bdst[k] = (int32_t)(k >> 7);
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t off = b * bs;
+    const int32_t lo = (int32_t)(b * A);
+    for (int64_t k = 0; k < bs; ++k) {
+      const int32_t s = (p[off + k] >> 7) - lo;
+      if (s < 0 || s >= npb) return 3;  // permutation crosses blocks
+      bsrc[k] = s;
+    }
+    const int rc = color_one(npb, npb, bs, 128, bsrc.data(), bdst.data(),
+                             color + off, w);
+    if (rc != 0) return rc;
+  }
+  if (getenv("SBLAS_COLOR_PROF")) {
+    fprintf(stderr, "[color] ne=%lld blocks=%lld build=%.2fs walk=%.2fs\n",
+            (long long)n, (long long)n_blocks, g_build_s, g_walk_s);
+    g_build_s = g_walk_s = 0;
+  }
+
+  // ---- idx1: fused bucketed scatter (addresses stay within each
+  // block's [b*bs, (b+1)*bs) window) ----
+  if (bs <= ((int64_t)1 << 17)) {
+    // window is cache-resident: scatter directly
+    for (int64_t i = 0; i < n; ++i)
+      idx1[((int64_t)(p[i] >> 7) << 7) + color[i]] = p[i] & 127;
+  } else {
+    const int64_t region = (128 << 10) / 4;
+    int32_t rbits = 0;
+    while (((int64_t)1 << rbits) < region) ++rbits;
+    const int64_t n_buckets = ((n - 1) >> rbits) + 1;
+    std::vector<int64_t> cnt(n_buckets + 1, 0);
+    for (int64_t i = 0; i < n; ++i)
+      ++cnt[(((((int64_t)(p[i] >> 7)) << 7) + color[i]) >> rbits) + 1];
+    for (int64_t b = 0; b < n_buckets; ++b) cnt[b + 1] += cnt[b];
+    std::vector<int32_t> t_addr(n), t_val(n);
+    std::vector<int64_t> pos(cnt.begin(), cnt.end() - 1);
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t addr = (((int64_t)(p[i] >> 7)) << 7) + color[i];
+      const int64_t t = pos[addr >> rbits]++;
+      t_addr[t] = (int32_t)addr;
+      t_val[t] = p[i] & 127;
+    }
+    for (int64_t i = 0; i < n; ++i) idx1[t_addr[i]] = t_val[i];
+  }
+
+  // ---- qrho ----
+  if (A <= mix_max) {
+    // rho_local[rd*128 + c] = src_row - b*A  (row-local writes: rd = i>>7)
+    for (int64_t b = 0; b < n_blocks; ++b) {
+      const int64_t off = b * bs;
+      const int32_t lo = (int32_t)(b * A);
+      for (int64_t i = off; i < off + bs; ++i)
+        qrho[((i >> 7) << 7) + color[i]] = (p[i] >> 7) - lo;
+    }
+    return 0;
+  }
+  // srcT[rd*128 + c] = a_src = src_row - b*A, then tiled transpose+offset
+  std::vector<int32_t> srcT(n);
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t off = b * bs;
+    const int32_t lo = (int32_t)(b * A);
+    for (int64_t i = off; i < off + bs; ++i)
+      srcT[((i >> 7) << 7) + color[i]] = (p[i] >> 7) - lo;
+  }
+  for (int64_t b = 0; b < n_blocks; ++b)
+    emit_q_block(srcT.data(), b, bs, A, qrho);
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Bucketed scatter: out[addr[k]] = val[k] with cache-resident write windows.
 //
 // This host pays ~14x for random memory access (CLAUDE.md): a numpy fancy

@@ -92,6 +92,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(lib, "sblas_route_level"):
+        lib.sblas_route_level.restype = ctypes.c_int
+        lib.sblas_route_level.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
     for suffix, ct in (("i8", ctypes.c_int8), ("i32", ctypes.c_int32),
                        ("f32", ctypes.c_float), ("f64", ctypes.c_double)):
         fn = getattr(lib, f"sblas_scatter_{suffix}", None)
@@ -181,6 +188,33 @@ def edge_color(src: np.ndarray, dst: np.ndarray, n_left: int, n_right: int,
     if rc != 0:
         raise RuntimeError(f"native edge coloring failed with code {rc}")
     return out
+
+
+def route_level(p: np.ndarray, bs: int, mix_max: int):
+    """One fused route-recursion level (native/route.cpp): coloring +
+    source lane shuffle + next-level permutation (or mix table) from the
+    block-local permutation `p`, each table one streaming pass.
+
+    Returns (color, idx1, qrho) int32 arrays of len(p); `qrho` is the mix
+    table rho_local when bs//128 <= mix_max, else the next level's
+    permutation q.  Raises RuntimeError when the native library is
+    unavailable or the input is rejected (caller falls back to numpy)."""
+    lib = _load() if os.environ.get("SBLAS_NO_NATIVE") != "1" else None
+    if lib is None or not hasattr(lib, "sblas_route_level"):
+        raise RuntimeError("native route level unavailable")
+    p32 = np.ascontiguousarray(p, dtype=np.int32)
+    n = len(p32)
+    color = np.empty(n, dtype=np.int32)
+    idx1 = np.empty(n, dtype=np.int32)
+    qrho = np.empty(n, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.sblas_route_level(
+        n, bs, mix_max, p32.ctypes.data_as(i32p),
+        color.ctypes.data_as(i32p), idx1.ctypes.data_as(i32p),
+        qrho.ctypes.data_as(i32p))
+    if rc != 0:
+        raise RuntimeError(f"native route level failed with code {rc}")
+    return color, idx1, qrho
 
 
 def available() -> bool:

@@ -249,6 +249,34 @@ def build_route(perm: np.ndarray) -> RouteProgram:
         from ..io import native
         A = bs // LANES           # grid rows per block
         R = len(p) // LANES       # total grid rows
+
+        if native.available():
+            # fused native level (native/route.cpp::sblas_route_level):
+            # same coloring core, and each table lands in one streaming
+            # pass — no arange/dst_row arrays, no scatter temporaries, no
+            # numpy transpose copy (~2x on the non-coloring build time at
+            # 14.7M, measured).  Tables are byte-identical to the numpy
+            # formulation below (deterministic shared coloring), so
+            # cached plans reproduce regardless of which path built them.
+            try:
+                color, idx1, qrho = native.route_level(p, bs, _MIX_MAX_A)
+            except RuntimeError:
+                color = None
+            if color is not None:
+                emit_gather(idx1.reshape(R, LANES))
+                if A <= _MIX_MAX_A:
+                    ops.append(("mix",
+                                np.ascontiguousarray(
+                                    qrho.reshape(R, LANES)), A))
+                    emit_gather(color.reshape(R, LANES))
+                    return
+                n_blocks = len(p) // bs
+                emit_vt((n_blocks, A, LANES), (0, 2, 1))
+                rec(qrho, A)
+                emit_vt((n_blocks, LANES, A), (0, 2, 1))
+                emit_gather(color.reshape(R, LANES))
+                return
+
         src = p
         # edges: one per destination element; rows in the (R, 128) grid
         src_row = src >> 7        # // LANES
