@@ -40,6 +40,18 @@ def test_spmv_cli(mtx_path, mode, capsys):
     assert "Validation = True" in out
 
 
+def test_spmv_cli_transport_flag(mtx_path, capsys):
+    """--transport parses and threads through plan construction (the
+    banded fixture picks DIA, where the knob is inert; routed-engine
+    bf16 semantics are covered in test_rspmv.TestBf16Transport)."""
+    from sblas_tpu.cli.spmv_test import main
+    rc = main([mtx_path, "3.0", "4.0", "1", "f32", "--mode", "single",
+               "--transport", "bf16"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Validation = True" in out
+
+
 def test_spmm_um_cli(mtx_path, capsys):
     from sblas_tpu.cli.spmm_test_um import main
     rc = main(["2", mtx_path, "8", "3.0", "4.0", "1", "1", "f64"])

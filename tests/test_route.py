@@ -138,3 +138,39 @@ def test_edge_color_honors_no_native_env(monkeypatch):
     # valid coloring: per (node, color) at most one edge on each side
     for side in (src, dst):
         assert len({(int(s), int(c)) for s, c in zip(side, colors)}) == len(src)
+
+
+def test_native_level_matches_numpy_tables():
+    """The fused native level builder (route.cpp::sblas_route_level) must
+    emit byte-identical tables to the numpy formulation in rec() — both
+    share the deterministic coloring core, so cached plans reproduce no
+    matter which path built them."""
+    import numpy as np
+    import pytest
+
+    from sblas_tpu.io import native
+    from sblas_tpu.ops.route import build_route
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(3)
+    for n in (128**2 * 3, 128**2 * 16):  # mix base case + deep level
+        perm = rng.permutation(n).astype(np.int32)
+        prog_native = build_route(perm)
+
+        def raiser(*a, **k):
+            raise RuntimeError("forced numpy path")
+
+        orig = native.route_level
+        native.route_level = raiser
+        try:
+            prog_numpy = build_route(perm)
+        finally:
+            native.route_level = orig
+        assert len(prog_native.ops) == len(prog_numpy.ops)
+        for a, b in zip(prog_native.ops, prog_numpy.ops):
+            assert a[0] == b[0]
+            if a[0] in ("gather", "mix"):
+                assert np.array_equal(a[1], b[1])
+            else:
+                assert a[1:] == b[1:]
