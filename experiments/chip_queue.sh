@@ -40,6 +40,10 @@ step shard_decompose 3000 python experiments/shard_decompose.py 16 4
 # 5. wcoo gather probe (+ bf16 byte-bound variant)
 step wcoo_gather 3000 python experiments/wcoo_gather_probe.py
 
+# 5b. bf16 route transport: Mosaic compile check + route-pass timing on
+# the cached webbase plan (execution-only knob; no plan rebuild)
+step bf16_transport 3000 python experiments/bf16_transport_probe.py
+
 # 6. file-scale CLI acceptance (Load / plan cold / plan cached / run)
 if [ -f /tmp/mtx_acceptance/webbase-1M-like.mtx ]; then
   step cli_cold 3000 python -m sblas_tpu.cli.spmv_test \
