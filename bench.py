@@ -334,5 +334,36 @@ def main() -> int:
     return 0
 
 
+def _device_probe(timeout_s: int = 300) -> bool:
+    """Bounded attachment probe in a throwaway subprocess.
+
+    `jax.devices()` hangs INDEFINITELY while the axon attachment is
+    wedged (the round-3 outage class); without this gate a driver-run
+    bench blocks until the driver's own timeout instead of failing
+    fast with a diagnosable message.  The probe subprocess exits (or is
+    killed) before main() touches the device, so the no-two-JAX-
+    processes rule holds."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"# bench: device probe timed out after {timeout_s}s — "
+              f"attachment wedged; aborting before the unbounded "
+              f"jax.devices() hang", file=sys.stderr)
+        return False
+    if r.returncode != 0:
+        print(f"# bench: device probe failed rc={r.returncode}: "
+              f"{r.stderr.strip()[-500:]}", file=sys.stderr)
+        return False
+    print(f"# bench: device probe ok ({r.stdout.strip()})",
+          file=sys.stderr)
+    return True
+
+
 if __name__ == "__main__":
+    if not _device_probe():
+        raise SystemExit(1)
     raise SystemExit(main())
