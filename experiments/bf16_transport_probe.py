@@ -1,3 +1,4 @@
+#!/usr/bin/env python3
 """Chip probe: bf16 route transport for the routed SpMV headline.
 
 The main route's layered passes are HBM-bound (~2.2 us/pass at N=262144,
@@ -19,57 +20,74 @@ import dataclasses
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-assert jax.default_backend() == "tpu", jax.default_backend()
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from sblas_tpu.config import SBlasConfig
-from sblas_tpu.containers import DenseVector
-from sblas_tpu.io.generate import webbase_like
-from sblas_tpu.io.plancache import load_plan, save_plan
-from sblas_tpu.ops.cpu_reference import spmv_cpu
-from sblas_tpu.ops.rspmv import RoutedPlan, spmv_routed
-from sblas_tpu.utils.benchtime import loop_time_ms
-from sblas_tpu.utils.verify import check_equal
+CACHE = os.path.join(".bench_cache", "webbase_spmv_f32_v4.npz")
 
-CACHE = os.path.join(os.path.dirname(__file__), "..", ".bench_cache",
-                     "webbase_spmv_f32_v4.npz")
 
-W = webbase_like(dtype=np.float32)
-if os.path.exists(CACHE):
-    plan_f32 = load_plan(CACHE)
-    assert plan_f32.shape == W.shape and plan_f32.nnz == W.nnz, \
-        "stale bench cache; delete it"
-    print(f"loaded cached plan {CACHE}")
-else:
-    plan_f32 = RoutedPlan.from_csr(W, dtype=jnp.float32)
-    save_plan(CACHE, plan_f32)
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
 
-x = DenseVector.random(W.width, dtype=np.float32)
-y = DenseVector.constant(W.height, 1.0, dtype=np.float32)
-xd = jnp.asarray(x.values)
-yd = jnp.asarray(y.values)
-want = spmv_cpu(W, x, 1.0, 1.0, y)
+    from sblas_tpu.containers import DenseVector
+    from sblas_tpu.io.generate import webbase_like
+    from sblas_tpu.io.plancache import load_plan, save_plan
+    from sblas_tpu.ops.cpu_reference import spmv_cpu
+    from sblas_tpu.ops.rspmv import RoutedPlan, spmv_routed
+    from sblas_tpu.utils.benchtime import loop_time_ms
+    from sblas_tpu.utils.verify import check_equal
 
-results = {}
-for transport, bar in (("f32", 1e-3), ("bf16", 2e-3)):
-    plan = dataclasses.replace(plan_f32, transport=transport)
-    got = spmv_routed(plan, xd, 1.0, 1.0, yd)
-    rep = check_equal(np.asarray(got), want, error_bar=bar, relative=True)
-    print(f"{transport}: {rep}")
-    assert rep.ok, f"{transport} failed its documented bar {bar}"
+    backend = jax.default_backend()
+    print(f"# device {jax.devices()[0]} ({backend})", file=sys.stderr)
+    if backend != "tpu":
+        print("# WARNING: not on TPU — numbers are not the measurement; "
+              "interpret mode cannot vouch for Mosaic bf16 support",
+              file=sys.stderr)
 
-    def step(yv, p):
-        return spmv_routed(p, xd + 1e-6 * yv[:1], 1.0, 1.0, yv)
+    W = webbase_like(dtype=np.float32)
+    plan_f32 = None
+    if os.path.exists(CACHE):
+        try:
+            p = load_plan(CACHE)
+            if p.shape == W.shape and p.nnz == W.nnz:
+                plan_f32 = p
+                print(f"loaded cached plan {CACHE}")
+        except Exception as e:
+            print(f"cache unusable ({e}); rebuilding", file=sys.stderr)
+    if plan_f32 is None:
+        plan_f32 = RoutedPlan.from_csr(W, dtype=jnp.float32)
+        os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+        save_plan(CACHE, plan_f32)
 
-    ms = loop_time_ms(step, yd, args=(plan,))
-    results[transport] = ms
-    print(f"{transport}: {ms:.4f} ms = {W.nnz / ms * 1e-6:.3f} Gnnz/s")
+    x = DenseVector.random(W.width, dtype=np.float32)
+    y = DenseVector.constant(W.height, 1.0, dtype=np.float32)
+    xd = jnp.asarray(x.values)
+    yd = jnp.asarray(y.values)
+    want = spmv_cpu(W, x, 1.0, 1.0, y)
 
-speedup = results["f32"] / results["bf16"]
-print(f"bf16 transport speedup: {speedup:.3f}x "
-      f"({results['f32']:.4f} -> {results['bf16']:.4f} ms)")
+    results = {}
+    for transport, bar in (("f32", 1e-3), ("bf16", 2e-3)):
+        plan = dataclasses.replace(plan_f32, transport=transport)
+        got = spmv_routed(plan, xd, 1.0, 1.0, yd)
+        rep = check_equal(np.asarray(got), want, error_bar=bar,
+                          relative=True)
+        print(f"{transport}: {rep}")
+        assert rep.ok, f"{transport} failed its documented bar {bar}"
+
+        def step(yv, p):
+            return spmv_routed(p, xd + 1e-6 * yv[:1], 1.0, 1.0, yv)
+
+        ms = loop_time_ms(step, yd, args=(plan,))
+        results[transport] = ms
+        print(f"{transport}: {ms:.4f} ms = {W.nnz / ms * 1e-6:.3f} Gnnz/s")
+
+    speedup = results["f32"] / results["bf16"]
+    print(f"bf16 transport speedup: {speedup:.3f}x "
+          f"({results['f32']:.4f} -> {results['bf16']:.4f} ms)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
