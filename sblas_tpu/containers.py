@@ -80,7 +80,8 @@ class CooMatrix:
     def sort_by_row(self) -> "CooMatrix":
         """Stable (row, col) sort (reference sortByRow qsort,
         matrix.h:223-239, made stable and col-secondary)."""
-        order = np.lexsort((self.col_idx, self.row_idx))
+        from .utils.hostmath import lexsort2
+        order = lexsort2(self.col_idx, self.row_idx)
         return CooMatrix(self.row_idx[order], self.col_idx[order],
                          self.values[order], self.shape)
 
@@ -184,7 +185,8 @@ class CscMatrix:
         """CSR -> CSC transposition (reference CsrToCsc histogram +
         exclusive-scan + insert, matrix.h:40-64), vectorized."""
         coo = csr.to_coo()
-        order = np.lexsort((coo.row_idx, coo.col_idx))
+        from .utils.hostmath import lexsort2
+        order = lexsort2(coo.row_idx, coo.col_idx)
         row_idx = coo.row_idx[order]
         values = coo.values[order]
         col_sorted = coo.col_idx[order]

@@ -290,17 +290,8 @@ def coo_to_csr_arrays(nrows: int, row_idx, col_idx, values, sum_duplicates=True)
     (row, col).  Duplicate coordinates are summed (scipy convention;
     documented deviation — the reference keeps duplicates,
     mmio_highlevel.h:242-263)."""
-    # single composite-key stable argsort instead of lexsort: one radix
-    # pass instead of two, measured 6.0 -> 1.5 s at 12M triplets on this
-    # host; identical order (stable, row-major) whenever the key fits
-    if len(row_idx):
-        W = np.int64(int(col_idx.max()) + 1)
-        if int(row_idx.max()) < 2**62 // int(W):
-            order = np.argsort(row_idx * W + col_idx, kind="stable")
-        else:  # pathological id ranges: keep the two-pass lexsort
-            order = np.lexsort((col_idx, row_idx))
-    else:
-        order = np.zeros(0, dtype=np.int64)
+    from ..utils.hostmath import lexsort2
+    order = lexsort2(col_idx, row_idx)
     r, c, v = row_idx[order], col_idx[order], values[order]
     if sum_duplicates and len(r):
         keep = np.empty(len(r), dtype=bool)
