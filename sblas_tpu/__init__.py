@@ -14,14 +14,15 @@ sblas_um.h:15-21 single-include headers).
 from .config import DEFAULT, SBlasConfig
 from .containers import (CooMatrix, CscMatrix, CsrMatrix, DenseMatrix,
                          DenseVector, MajorOrder, SharePolicy)
-from .solvers import SolveResult, bicgstab, cg, pagerank
+from .solvers import SolveResult, bicgstab, cg, \
+    jacobi_inv_diag, pagerank
 from .utils.verify import VerifyReport, assert_equal, check_equal
 
 __all__ = [
     "DEFAULT", "SBlasConfig",
     "CooMatrix", "CsrMatrix", "CscMatrix", "DenseMatrix", "DenseVector",
     "MajorOrder", "SharePolicy",
-    "SolveResult", "bicgstab", "cg", "pagerank",
+    "SolveResult", "bicgstab", "cg", "jacobi_inv_diag", "pagerank",
     "VerifyReport", "assert_equal", "check_equal",
 ]
 

@@ -73,19 +73,46 @@ def _matvec_of(A, mesh=None, dtype=None) -> tuple:
                               jnp.zeros(p.shape[0], v.dtype))), A
 
 
+def jacobi_inv_diag(A, dtype=None) -> jax.Array:
+    """Inverse-diagonal (Jacobi) preconditioner vector for `cg(M=...)`.
+
+    `A` is a `CsrMatrix`; zero/absent diagonal entries map to 1.0 (no
+    preconditioning on that row) rather than inf.  Returned as a device
+    array so the solver threads it through the jit as an ARGUMENT — a
+    preconditioner closure capturing an n-vector would embed it as an
+    HLO constant (module no-closure rule)."""
+    import numpy as np
+    m, n = A.shape
+    md = min(m, n)
+    nnz_m = int(A.row_ptr[m])
+    rows = np.repeat(np.arange(m, dtype=np.int64), A.row_nnz)
+    hit = A.col_idx[:nnz_m] == rows
+    d = np.zeros(md, dtype=np.float64)
+    d[rows[hit][rows[hit] < md]] = A.values[:nnz_m][hit][rows[hit] < md]
+    inv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 1.0)
+    return jnp.asarray(inv, dtype or jnp.float32)
+
+
 def cg(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
-       M: Optional[Callable] = None, mesh=None) -> SolveResult:
+       M=None, mesh=None) -> SolveResult:
     """Conjugate gradients for SPD A: one fused device loop.
 
-    `A` as in `_matvec_of`; `M` is an optional preconditioner callable
-    v -> M^-1 v (traceable).  Terminates when ||r|| <= tol * ||b|| or
-    at `maxiter`.  Returns the solution and host-fetched stats."""
+    `A` as in `_matvec_of`; `M` is an optional preconditioner — either a
+    traceable callable v -> M^-1 v, or an ARRAY holding the inverse
+    diagonal (`jacobi_inv_diag`), which is threaded through the jit as
+    an argument (an n-vector captured in a callable would embed as an
+    HLO constant and can overflow the remote-compile tunnel).
+    Terminates when ||r|| <= tol * ||b|| or at `maxiter`."""
     b = jnp.asarray(b)
     matvec, operands = _matvec_of(A, mesh, b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
-    psolve = M if M is not None else (lambda v: v)
+    m_arr = None
+    if M is not None and not callable(M):
+        m_arr = jnp.asarray(M, b.dtype)
 
-    def run(ops_, b_, x_):
+    def run(ops_, b_, x_, m_):
+        psolve = ((lambda v: v * m_) if m_ is not None
+                  else (M if M is not None else (lambda v: v)))
         r = b_ - matvec(ops_, x_)
         z = psolve(r)
         p = r if M is None else z
@@ -113,7 +140,7 @@ def cg(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
         rel = jnp.sqrt(jnp.vdot(r_f, r_f) / jnp.maximum(b2, 1e-300))
         return x_f, it, rel
 
-    x, it, rel = jax.jit(run)(operands, b, x0)
+    x, it, rel = jax.jit(run)(operands, b, x0, m_arr)
     it, rel = int(it), float(rel)
     return SolveResult(x=x, iterations=it, residual=rel,
                        converged=rel <= tol * 1.0000001)

@@ -79,6 +79,28 @@ def test_cg_callable_and_jacobi_preconditioner(spd):
                                atol=1e-8)
 
 
+def test_cg_array_M_and_jacobi_helper(spd):
+    """M passed as an ARRAY (inverse diagonal, threaded through the jit
+    as an argument per the no-closure rule) must match the callable
+    form; jacobi_inv_diag must extract the same vector."""
+    from sblas_tpu.solvers import jacobi_inv_diag
+    A, x_true, b = spd
+    plan = make_plan(A, dtype=jnp.float64, op="spmv")
+    inv_d = jacobi_inv_diag(A, dtype=jnp.float64)
+    coo = A.to_coo()
+    sel = coo.row_idx == coo.col_idx
+    want = np.ones(A.shape[0])
+    want[coo.row_idx[sel]] = 1.0 / coo.values[sel]
+    np.testing.assert_allclose(np.asarray(inv_d), want)
+    res_arr = cg(plan, jnp.asarray(b), tol=1e-10, maxiter=3000, M=inv_d)
+    res_fn = cg(plan, jnp.asarray(b), tol=1e-10, maxiter=3000,
+                M=lambda v: inv_d * v)
+    assert res_arr.converged
+    assert res_arr.iterations == res_fn.iterations
+    np.testing.assert_allclose(np.asarray(res_arr.x), x_true, rtol=1e-6,
+                               atol=1e-8)
+
+
 def test_cg_distributed_shards(spd):
     from sblas_tpu.parallel import make_mesh, partition_row_plans
     A, x_true, b = spd
