@@ -33,7 +33,7 @@ def main() -> int:
 
     from sblas_tpu.containers import DenseVector
     from sblas_tpu.io.generate import webbase_like
-    from sblas_tpu.io.plancache import load_plan, save_plan
+    from sblas_tpu.io.plancache import cached_plan
     from sblas_tpu.ops.cpu_reference import spmv_cpu
     from sblas_tpu.ops.rspmv import RoutedPlan, spmv_routed
     from sblas_tpu.utils.benchtime import loop_time_ms
@@ -47,19 +47,9 @@ def main() -> int:
               file=sys.stderr)
 
     W = webbase_like(dtype=np.float32)
-    plan_f32 = None
-    if os.path.exists(CACHE):
-        try:
-            p = load_plan(CACHE)
-            if p.shape == W.shape and p.nnz == W.nnz:
-                plan_f32 = p
-                print(f"loaded cached plan {CACHE}")
-        except Exception as e:
-            print(f"cache unusable ({e}); rebuilding", file=sys.stderr)
-    if plan_f32 is None:
-        plan_f32 = RoutedPlan.from_csr(W, dtype=jnp.float32)
-        os.makedirs(os.path.dirname(CACHE), exist_ok=True)
-        save_plan(CACHE, plan_f32)
+    plan_f32 = cached_plan(
+        CACHE, lambda: RoutedPlan.from_csr(W, dtype=jnp.float32),
+        valid=lambda p: p.shape == W.shape and p.nnz == W.nnz)
 
     x = DenseVector.random(W.width, dtype=np.float32)
     y = DenseVector.constant(W.height, 1.0, dtype=np.float32)

@@ -35,7 +35,7 @@ def main() -> int:
 
     from sblas_tpu.containers import DenseVector
     from sblas_tpu.io.generate import webbase_like
-    from sblas_tpu.io.plancache import load_plan, save_plan
+    from sblas_tpu.io.plancache import cached_plan
     from sblas_tpu.ops.route import apply_route
     from sblas_tpu.ops.rspmv import RoutedPlan, spmv_routed, \
         _gathered_contrib
@@ -51,20 +51,13 @@ def main() -> int:
         local, (tg, srs, prs, sks) = xfoot_worst_local(W, nsh)
         cache = os.path.join(".bench_cache",
                              f"webbase_xfoot_shard{nsh}_f32_v1.npz")
-        plan = None
-        if os.path.exists(cache):
-            try:
-                p = load_plan(cache)
-                if p.shape == local.shape and p.nnz == local.nnz:
-                    plan = p
-            except Exception:
-                pass
-        if plan is None:
-            plan = RoutedPlan.from_csr(local, dtype=jnp.float32,
-                                       min_gtiles=tg, min_srows=srs,
-                                       min_prows=prs, min_sranks=sks)
-            os.makedirs(".bench_cache", exist_ok=True)
-            save_plan(cache, plan)
+        plan = cached_plan(
+            cache,
+            lambda: RoutedPlan.from_csr(local, dtype=jnp.float32,
+                                        min_gtiles=tg, min_srows=srs,
+                                        min_prows=prs, min_sranks=sks),
+            valid=lambda p: (p.shape == local.shape
+                             and p.nnz == local.nnz))
 
         print(f"\n== n={nsh}: shard {local.shape}, nnz {local.nnz}, "
               f"T_g {plan.n_gtiles}, S {plan.n_srows}, R_p {plan.n_prows}, "
@@ -149,7 +142,6 @@ def main() -> int:
 
         t("epilogue", epi, y, (plan,))
 
-        lin = t_full  # caller compares vs t1/n externally
         print(f"  (full = {t_full * 1e3:.1f} us; stages above may overlap "
               f"in the fused program — the sum is an upper bound)")
     return 0

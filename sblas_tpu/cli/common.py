@@ -61,6 +61,19 @@ def positional(argv, names, casts, usage: str):
     return [cast(a) for a, cast in zip(argv, casts)]
 
 
+def flag_value(rest, name: str, default, cast=str, usage: str = ""):
+    """`--name VALUE` lookup with a usage error instead of an IndexError
+    when the value is missing (a bare trailing flag previously died with
+    a raw traceback)."""
+    if name not in rest:
+        return default
+    i = rest.index(name)
+    if i + 1 >= len(rest):
+        print(usage or f"missing value for {name}", file=sys.stderr)
+        raise SystemExit(2)
+    return cast(rest[i + 1])
+
+
 def steady_run_ms(run_once, run_coupled=None, operands=None,
                   estimator: str = "auto"):
     """Steady-state run time (ms), result, and the estimator used

@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import sys
 
-from .common import finish, positional, setup_devices
+from .common import finish, flag_value, positional, setup_devices
 
 USAGE = ("usage: python -m sblas_tpu.cli.spmv_test "
          "<A.mtx> <alpha> <beta> <n_devices> [f32|f64] "
@@ -41,18 +41,10 @@ def main(argv=None) -> int:
         argv, range(4), (str, float, float, int), USAGE)
     rest = argv[4:]
     dtype_name = rest[0] if rest and not rest[0].startswith("-") else "f32"
-    mode = "dist"
-    if "--mode" in rest:
-        mode = rest[rest.index("--mode") + 1]
-    cache_path = None
-    if "--plan-cache" in rest:
-        cache_path = rest[rest.index("--plan-cache") + 1]
-    slices = 2
-    if "--slices" in rest:
-        slices = int(rest[rest.index("--slices") + 1])
-    transport = None
-    if "--transport" in rest:
-        transport = rest[rest.index("--transport") + 1]
+    mode = flag_value(rest, "--mode", "dist", usage=USAGE)
+    cache_path = flag_value(rest, "--plan-cache", None, usage=USAGE)
+    slices = flag_value(rest, "--slices", 2, int, usage=USAGE)
+    transport = flag_value(rest, "--transport", None, usage=USAGE)
 
     from .common import ensure_dtype
     ensure_dtype(dtype_name)
@@ -109,6 +101,14 @@ def main(argv=None) -> int:
                     f"{getattr(obj, 'n_shards', '-')} shards; this run "
                     f"is {tuple(A.shape)}/{A.nnz}/{n} — delete the file "
                     f"or point --plan-cache elsewhere")
+            got_tr = getattr(obj, "transport", getattr(
+                getattr(obj, "plan", None), "transport", None))
+            if got_tr is not None and got_tr != cfg.routed_transport:
+                raise FormatError(
+                    f"plan cache {cache_path} was built with "
+                    f"routed_transport={got_tr!r}; this run requests "
+                    f"{cfg.routed_transport!r} — delete the file or "
+                    f"match --transport")
             print(f"plan cache: loaded {cache_path}")
             return obj
         obj = build()
@@ -148,7 +148,7 @@ def main(argv=None) -> int:
                   f"{st.extract_mode}")
         elif mode == "hier":
             from ..utils.errors import PartitionError, require
-            require(n % slices == 0 and n // slices >= 1, PartitionError,
+            require(slices >= 1 and n % slices == 0, PartitionError,
                     f"--slices {slices} does not divide {n} devices")
             mesh2 = make_mesh2(slices, n // slices)
             shards = cached(lambda: partition_row_plans(

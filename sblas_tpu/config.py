@@ -91,12 +91,15 @@ class SBlasConfig:
 
     # Hot-set demand threshold for the xfoot exchange (parallel/xfoot.py):
     # columns demanded by >= this many remote shards ride the hot
-    # broadcast; the rest go point-to-point.  <= 0 (default) picks the
-    # threshold by modeled exchange cost per partition — raw bytes favor
-    # q>=2, but the all_to_all pads every (owner, demander) segment to
-    # the max pair size, so low-q hot columns often ride existing pad
-    # slack for free (webbase n=16 measured: auto picks 4, 777 -> 516
-    # KB/chip).  >= 2 forces a fixed threshold.
+    # broadcast; the rest go point-to-point.  <= 0 (default) uses the
+    # structural optimum 2.  Raising it LOOKS attractive on raw bytes
+    # (webbase n=16: q>=4 models 777 -> 516 KB/chip because low-q hot
+    # columns ride existing all_to_all pad slack) but is a measured net
+    # loss: q-in-[2,qmin) columns then appear in multiple packets, the
+    # extraction map stops being a bijection, and the routed engine
+    # (Clos = permutations, no multicast) cannot express it — the knob
+    # stays for small-footprint experiments only (duplicates force the
+    # flat engine; ACCEPTANCE_R4.md).
     xfoot_hot_qmin: int = 0
 
     # Route-transport precision for the routed SpMV engine: "f32" (default)

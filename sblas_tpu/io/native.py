@@ -29,22 +29,37 @@ _tried = False
 FIELD_CODES = {"pattern": 0, "real": 1, "integer": 1, "complex": 2}
 
 
-# exactly the inputs the Makefile links into libsblasio.so (plus the
-# Makefile itself — a flag change must rebuild too); unrelated tools in
-# native/ (bench_color.cpp) must NOT trigger a rebuild
-_LIB_SOURCES = ("mtxparse.cpp", "route.cpp", "Makefile")
+def _lib_sources(ndir: str):
+    """The inputs that can change libsblasio.so: every .cpp named in the
+    Makefile's link line (parsed, not hardcoded — a source added to the
+    Makefile but not to a Python allowlist would otherwise reinstate
+    the silent-stale-.so failure), every header, and the Makefile
+    itself (a flag change must rebuild too).  Unrelated tools in
+    native/ (bench_color.cpp) are not in the Makefile and so do not
+    trigger rebuilds."""
+    import glob
+    import re
+    srcs = {"Makefile"}
+    try:
+        with open(os.path.join(ndir, "Makefile")) as fh:
+            srcs.update(re.findall(r"\b[\w./-]+\.cpp\b", fh.read()))
+    except OSError:
+        pass
+    srcs.update(os.path.basename(h)
+                for h in glob.glob(os.path.join(ndir, "*.h")))
+    return srcs
 
 
 def _stale() -> bool:
-    """True when any linked native source (or the Makefile) is newer than
-    the built library — a pre-existing .so from an older checkout would
-    otherwise silently lack newer symbols and every fast path would fall
-    back with no warning."""
+    """True when any linked native source (or a header, or the Makefile)
+    is newer than the built library — a pre-existing .so from an older
+    checkout would otherwise silently lack newer symbols and every fast
+    path would fall back with no warning."""
     if not os.path.exists(_LIB_PATH):
         return True
     lib_mtime = os.path.getmtime(_LIB_PATH)
     ndir = os.path.abspath(_NATIVE_DIR)
-    for f in _LIB_SOURCES:
+    for f in _lib_sources(ndir):
         try:
             if os.path.getmtime(os.path.join(ndir, f)) > lib_mtime:
                 return True

@@ -116,6 +116,28 @@ def save_plan(path: str, plan) -> None:
         fh.write(buf.getvalue())
 
 
+def cached_plan(path: str, build, valid=None, put=None):
+    """Load the plan at `path` when present and `valid(plan)` holds,
+    else `build()` it and persist.  The one idiom behind every
+    build-once/run-many call site (bench, drivers, experiment scripts)
+    — an unusable or schema-drifted file silently falls through to a
+    rebuild that overwrites it."""
+    import os
+    if os.path.exists(path):
+        try:
+            plan = load_plan(path, put=put)
+            if valid is None or valid(plan):
+                return plan
+        except Exception:
+            pass  # unreadable/drifted: rebuild below
+    plan = build()
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    save_plan(path, plan)
+    return plan
+
+
 def load_plan(path: str, put=None):
     """Load a plan saved by `save_plan`.
 

@@ -28,6 +28,21 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# jitted solver programs, keyed by (solver, matvec-kind, mesh, tol,
+# maxiter, preconditioner identity): re-wrapping `run` in a fresh
+# jax.jit on every call would RETRACE AND RECOMPILE each solve — on the
+# remote-compile attachment that is 30-60 s per cg() call in a loop
+# over right-hand sides.  Keys hold only hashables; jax.jit still
+# retraces internally when operand shapes/treedefs change.
+_PROGRAMS: dict = {}
+
+
+def _cached_jit(key, build):
+    prog = _PROGRAMS.get(key)
+    if prog is None:
+        prog = _PROGRAMS[key] = jax.jit(build())
+    return prog
+
 
 class SolveResult(NamedTuple):
     """Outcome of an iterative solve (host scalars, device solution)."""
@@ -39,15 +54,17 @@ class SolveResult(NamedTuple):
 
 
 def _matvec_of(A, mesh=None, dtype=None) -> tuple:
-    """Normalize `A` into (fn(operands, v) -> A@v, operands) with the
-    plan data passed as a pytree argument (see module docstring).
+    """Normalize `A` into (fn(operands, v) -> A@v, operands, key) with
+    the plan data passed as a pytree argument (see module docstring).
+    `key` identifies the matvec FORM for the program cache (the operand
+    pytree itself stays a runtime argument).
 
     Accepts a raw `CsrMatrix` (planned here via `make_plan`), a
     single-chip plan (`make_plan` result), distributed shard containers
     (`RowPlanShards` with `mesh`, `XFootShards` with `mesh`), or a
     traceable callable v -> A@v (operands = ())."""
     if callable(A) and not hasattr(A, "plan") and not hasattr(A, "shape"):
-        return (lambda _, v: A(v)), ()
+        return (lambda _, v: A(v)), (), ("user", A)
     from .containers import CsrMatrix
     if isinstance(A, CsrMatrix):
         from .ops import make_plan
@@ -60,17 +77,20 @@ def _matvec_of(A, mesh=None, dtype=None) -> tuple:
         require(mesh is not None, PartitionError,
                 "distributed shards need mesh=")
         return (lambda sh, v: spmv_dist_planned(
-            sh, v, 1.0, 0.0, jnp.zeros(sh.shape[0], v.dtype), mesh)), A
+            sh, v, 1.0, 0.0, jnp.zeros(sh.shape[0], v.dtype), mesh)), A, \
+            ("rowplan", mesh)
     if isinstance(A, XFootShards):
         from .parallel.xfoot import spmv_xfoot
         from .utils.errors import PartitionError, require
         require(mesh is not None, PartitionError,
                 "distributed shards need mesh=")
         return (lambda sh, v: spmv_xfoot(
-            sh, v, 1.0, 0.0, jnp.zeros(sh.shape[0], v.dtype), mesh)), A
+            sh, v, 1.0, 0.0, jnp.zeros(sh.shape[0], v.dtype), mesh)), A, \
+            ("xfoot", mesh)
     from .ops import spmv
     return (lambda p, v: spmv(p, v, 1.0, 0.0,
-                              jnp.zeros(p.shape[0], v.dtype))), A
+                              jnp.zeros(p.shape[0], v.dtype))), A, \
+        ("plan",)
 
 
 def jacobi_inv_diag(A, dtype=None) -> jax.Array:
@@ -104,7 +124,7 @@ def cg(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
     HLO constant and can overflow the remote-compile tunnel).
     Terminates when ||r|| <= tol * ||b|| or at `maxiter`."""
     b = jnp.asarray(b)
-    matvec, operands = _matvec_of(A, mesh, b.dtype)
+    matvec, operands, mkey = _matvec_of(A, mesh, b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     m_arr = None
     if M is not None and not callable(M):
@@ -137,10 +157,15 @@ def cg(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
 
         x_f, r_f, _, _, it = lax.while_loop(
             cond, body, (x_, r, p, rz, jnp.int32(0)))
-        rel = jnp.sqrt(jnp.vdot(r_f, r_f) / jnp.maximum(b2, 1e-300))
+        # tiny guard (not 1e-300: underflows to 0.0 in f32 -> 0/0 NaN on
+        # b = 0, which solves exactly at it=0)
+        rel = jnp.sqrt(jnp.vdot(r_f, r_f)
+                       / jnp.maximum(b2, jnp.finfo(b_.dtype).tiny))
         return x_f, it, rel
 
-    x, it, rel = jax.jit(run)(operands, b, x0, m_arr)
+    key = ("cg", mkey, tol, maxiter,
+           M if callable(M) else (m_arr is not None))
+    x, it, rel = _cached_jit(key, lambda: run)(operands, b, x0, m_arr)
     it, rel = int(it), float(rel)
     return SolveResult(x=x, iterations=it, residual=rel,
                        converged=rel <= tol * 1.0000001)
@@ -156,7 +181,7 @@ def bicgstab(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
     Breakdown (rho or omega ~ 0) exits the loop with the current
     iterate; `converged` then reports honestly from the residual."""
     b = jnp.asarray(b)
-    matvec, operands = _matvec_of(A, mesh, b.dtype)
+    matvec, operands, mkey = _matvec_of(A, mesh, b.dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
 
     def run(ops_, b_, x_):
@@ -164,7 +189,10 @@ def bicgstab(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
         rhat = r  # shadow residual fixed at r0
         b2 = jnp.vdot(b_, b_)
         tol2 = (tol * tol) * b2
-        eps = jnp.asarray(1e-300, b_.dtype)
+        # finfo.tiny, NOT a 1e-300 literal: the literal underflows to 0.0
+        # in float32 and an exact mid-iteration convergence (t == 0)
+        # would produce 0/0 = NaN omega
+        eps = jnp.asarray(jnp.finfo(b_.dtype).tiny, b_.dtype)
 
         def cond(st):
             _, r_, _, _, _, _, _, it, alive = st
@@ -193,10 +221,12 @@ def bicgstab(A, b, *, x0=None, tol: float = 1e-6, maxiter: int = 500,
             cond, body,
             (x_, r, zero, zero, one, one, one, jnp.int32(0),
              jnp.asarray(True)))
-        rel = jnp.sqrt(jnp.vdot(r_f, r_f) / jnp.maximum(b2, 1e-300))
+        rel = jnp.sqrt(jnp.vdot(r_f, r_f)
+                       / jnp.maximum(b2, jnp.finfo(b_.dtype).tiny))
         return x_f, it, rel
 
-    x, it, rel = jax.jit(run)(operands, b, x0)
+    x, it, rel = _cached_jit(("bicgstab", mkey, tol, maxiter),
+                             lambda: run)(operands, b, x0)
     it, rel = int(it), float(rel)
     return SolveResult(x=x, iterations=it, residual=rel,
                        converged=rel <= tol * 1.0000001)
@@ -213,7 +243,7 @@ def pagerank(PT, n: int, *, dangling=None, damping: float = 0.85,
     r' = damping * (P^T r + dangling_mass / n) + (1 - damping)/n until
     the L1 change passes `tol` — all iterations inside one dispatch."""
     dtype = r0.dtype if r0 is not None else jnp.float32
-    matvec, operands = _matvec_of(PT, mesh, dtype)
+    matvec, operands, mkey = _matvec_of(PT, mesh, dtype)
     r0 = (jnp.full(n, 1.0 / n, dtype) if r0 is None
           else jnp.asarray(r0))
     dang = (jnp.zeros(n, r0.dtype) if dangling is None
@@ -237,7 +267,9 @@ def pagerank(PT, n: int, *, dangling=None, damping: float = 0.85,
         return lax.while_loop(
             cond, body, (r_, jnp.asarray(jnp.inf, r_.dtype), jnp.int32(0)))
 
-    r, delta, it = jax.jit(run)(operands, r0, dang)
+    r, delta, it = _cached_jit(
+        ("pagerank", mkey, n, damping, tol, maxiter),
+        lambda: run)(operands, r0, dang)
     it, delta = int(it), float(delta)
     return SolveResult(x=r, iterations=it, residual=delta,
                        converged=delta <= tol)

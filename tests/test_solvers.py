@@ -210,3 +210,25 @@ def test_cg_accepts_raw_csr():
     assert res.converged
     np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6,
                                atol=1e-8)
+
+
+def test_cg_repeat_solves_do_not_retrace(spd):
+    """cg() in a loop over right-hand sides must reuse the jitted
+    program (a fresh jax.jit per call retraced and recompiled every
+    solve — 30-60 s per call on the remote-compile attachment)."""
+    A, x_true, b = spd
+    plan = make_plan(A, dtype=jnp.float64, op="spmv")
+    from sblas_tpu.ops import spmv
+    traces = []
+
+    def mv(v):
+        traces.append(1)
+        return spmv(plan, v, 1.0, 0.0, jnp.zeros_like(v))
+
+    r1 = cg(mv, jnp.asarray(b), tol=1e-10, maxiter=3000)
+    n1 = len(traces)
+    assert n1 > 0 and r1.converged
+    r2 = cg(mv, jnp.asarray(b * 2.0), tol=1e-10, maxiter=3000)
+    assert len(traces) == n1, "second solve retraced the program"
+    np.testing.assert_allclose(np.asarray(r2.x), 2.0 * x_true, rtol=1e-6,
+                               atol=1e-8)
