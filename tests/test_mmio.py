@@ -149,3 +149,22 @@ def test_ash85_coo_loader_handles_pattern():
     coo = CooMatrix.from_mtx(REFERENCE_ASH85)
     assert np.all(coo.values == 1.0)
     assert coo.to_csr().nnz == scipy.io.mmread(REFERENCE_ASH85).tocsr().nnz
+
+
+def test_lexsort2_matches_lexsort():
+    """Composite-key sort (utils/hostmath.lexsort2) must reproduce
+    np.lexsort exactly: stable, primary-major, duplicate-heavy inputs,
+    empty input, and the huge-range fallback path."""
+    import numpy as np
+
+    from sblas_tpu.utils.hostmath import lexsort2
+
+    rng = np.random.RandomState(0)
+    for n, hi in ((0, 10), (1, 1), (1000, 7), (10000, 1000)):
+        p = rng.randint(0, hi, size=n).astype(np.int64)
+        s = rng.randint(0, hi, size=n).astype(np.int64)
+        np.testing.assert_array_equal(lexsort2(s, p), np.lexsort((s, p)))
+    # key overflow range: falls back to lexsort, same result
+    p = rng.randint(0, 2**40, size=1000).astype(np.int64)
+    s = rng.randint(0, 2**40, size=1000).astype(np.int64)
+    np.testing.assert_array_equal(lexsort2(s, p), np.lexsort((s, p)))
