@@ -44,6 +44,10 @@ step wcoo_gather 3000 python experiments/wcoo_gather_probe.py
 # the cached webbase plan (execution-only knob; no plan rebuild)
 step bf16_transport 3000 python experiments/bf16_transport_probe.py
 
+# 5c. 4M cached-plan scale stress (r3 outage queue: re-run + chip-side
+# cached reload time; oracle-gated on a row slice)
+step stress4m 3000 python experiments/stress4m.py
+
 # 6. file-scale CLI acceptance (Load / plan cold / plan cached / run)
 if [ -f /tmp/mtx_acceptance/webbase-1M-like.mtx ]; then
   step cli_cold 3000 python -m sblas_tpu.cli.spmv_test \

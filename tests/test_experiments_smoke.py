@@ -79,3 +79,10 @@ def test_bf16_transport_probe(toy_world, capsys):
     assert mod.main() == 0
     out = capsys.readouterr().out
     assert "bf16 transport speedup" in out
+
+
+def test_stress4m(toy_world, capsys):
+    mod = _load("stress4m")
+    assert mod.main() == 0
+    out = capsys.readouterr().out
+    assert "oracle[0:64] max_rel" in out and "routed SpMV" in out
