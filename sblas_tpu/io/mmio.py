@@ -197,10 +197,18 @@ def read_coo(path: str, value_dtype=np.float64):
                     if np.issubdtype(value_dtype, np.complexfloating)
                     else vals[:, 0])
         if header.needs_mirror:
+            # symmetric/hermitian array files store the lower triangle
+            # INCLUDING the diagonal; skew-symmetric files store only the
+            # STRICT lower triangle (the diagonal is identically zero, MM
+            # spec) — including it here rejected every valid skew file
+            # with a length mismatch
+            lo = 1 if header.is_skew else 0
             cols_f = np.concatenate(
-                [np.full(header.nrows - j, j) for j in range(header.ncols)])
+                [np.full(max(header.nrows - j - lo, 0), j)
+                 for j in range(header.ncols)])
             rows_f = np.concatenate(
-                [np.arange(j, header.nrows) for j in range(header.ncols)])
+                [np.arange(j + lo, header.nrows)
+                 for j in range(header.ncols)])
         else:
             rows_f, cols_f = np.meshgrid(np.arange(header.nrows),
                                          np.arange(header.ncols), indexing="ij")

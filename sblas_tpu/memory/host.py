@@ -287,19 +287,14 @@ def build_band_plan(sub: CsrMatrix, kind: str, dim: int, band_rows: int,
                        put(vals.astype(np_val_dtype)),
                        (band_rows, n), total_nnz)
     if kind == "wcoo":
-        from ..ops.wcoo import WcooPlan, wcoo_arrays
-        r = wcoo_arrays(sub, min_tiles=dim)
-        wb = r["half_ids"][0::2]
-        nb = r["n_row_blocks"]
-        visit0 = np.zeros(nb, dtype=np_val_dtype)
-        visit1 = np.zeros(nb, dtype=np_val_dtype)
-        visit0[wb] = 1
-        visit1[np.minimum(wb + 1, nb - 1)] = 1
+        from ..ops.wcoo import WcooPlan, wcoo_plan_arrays
+        r = wcoo_plan_arrays(sub, min_tiles=dim, np_val=np_val_dtype)
         return WcooPlan(
             xblk=put(r["xblk"]), lane=put(r["lane"]),
             vals=put(r["vals"].astype(np_val_dtype)),
             relrow=put(r["relrow"]), half_ids=put(r["half_ids"]),
-            wb=put(wb), visit0=put(visit0), visit1=put(visit1),
+            wb=put(r["wb"]), visit0=put(r["visit0"]),
+            visit1=put(r["visit1"]),
             shape=(band_rows, n), nnz=total_nnz, n_tiles=r["n_tiles"],
             n_row_blocks=r["n_row_blocks"])
     if kind == "coo":

@@ -87,6 +87,12 @@ def make_plan(A, dtype=None, config=DEFAULT, force=None, op=None):
     raise ValueError(f"unknown plan kind {kind!r}")
 
 
+def _plan_dtype(plan):
+    """Value dtype of any plan kind (RoutedPlan stores values as gvals)."""
+    return (plan.gvals if isinstance(plan, RoutedPlan)
+            else plan.vals).dtype
+
+
 def spmv(plan, x, alpha=1.0, beta=1.0, y=None):
     """y' = beta*y + alpha*A@x, dispatched on plan type (`y=None` drops the
     beta term)."""
@@ -94,7 +100,7 @@ def spmv(plan, x, alpha=1.0, beta=1.0, y=None):
 
     from .spmv import spmv as _spmv_xla
     if y is None:
-        y = jnp.zeros(plan.shape[0], dtype=plan.vals.dtype)
+        y = jnp.zeros(plan.shape[0], dtype=_plan_dtype(plan))
         beta = 0.0
     if isinstance(plan, DiaPlan):
         return spmv_dia(plan, x, alpha, beta, y)
@@ -113,14 +119,14 @@ def spmm(plan, B, alpha=1.0, beta=1.0, C=None):
     import jax.numpy as jnp
 
     from .spmm import spmm as _spmm_xla
-    if C is None:
-        C = jnp.zeros((plan.shape[0], B.shape[1]), dtype=plan.vals.dtype)
-        beta = 0.0
     if isinstance(plan, RoutedPlan):
         raise TypeError(
             "RoutedPlan is SpMV-only (its contribution routing has no "
             "K-wide analog); build an SpMM plan with make_plan(A) or "
             "make_plan(A, op='spmm')")
+    if C is None:
+        C = jnp.zeros((plan.shape[0], B.shape[1]), dtype=_plan_dtype(plan))
+        beta = 0.0
     if isinstance(plan, DiaPlan):
         return spmm_dia(plan, B, alpha, beta, C)
     if isinstance(plan, BsrPlan):

@@ -115,25 +115,36 @@ class WcooPlan:
         tiles carry val=0 anchored at the last window and contribute
         nothing) — used by the band-streaming/distributed layers so
         per-band plans share one shape and one compiled kernel."""
-        arr = wcoo_arrays(A, min_tiles=min_tiles)
         np_val = np.dtype(jnp.dtype(dtype).name)
-        wb = arr["half_ids"][0::2]
-        nb = arr["n_row_blocks"]
-        visit0 = np.zeros(nb, dtype=np_val)
-        visit1 = np.zeros(nb, dtype=np_val)
-        visit0[wb] = 1
-        visit1[np.minimum(wb + 1, nb - 1)] = 1
+        arr = wcoo_plan_arrays(A, min_tiles=min_tiles, np_val=np_val)
         return cls(
             xblk=jnp.asarray(arr["xblk"], jnp.int32),
             lane=jnp.asarray(arr["lane"], jnp.int32),
             vals=jnp.asarray(arr["vals"].astype(np_val), dtype),
             relrow=jnp.asarray(arr["relrow"], jnp.int32),
             half_ids=jnp.asarray(arr["half_ids"], jnp.int32),
-            wb=jnp.asarray(wb, jnp.int32),
-            visit0=jnp.asarray(visit0, dtype),
-            visit1=jnp.asarray(visit1, dtype),
+            wb=jnp.asarray(arr["wb"], jnp.int32),
+            visit0=jnp.asarray(arr["visit0"], dtype),
+            visit1=jnp.asarray(arr["visit1"], dtype),
             shape=A.shape, nnz=A.nnz, n_tiles=arr["n_tiles"],
             n_row_blocks=arr["n_row_blocks"])
+
+
+def wcoo_plan_arrays(A, min_tiles: int = 0, np_val=np.float32):
+    """`wcoo_arrays` plus the derived accumulation-grid masks: wb (each
+    tile's first visited row block) and the visit0/visit1 indicators the
+    fused reduce uses to mask unvisited (garbage-holding) out blocks.
+    One constructor shared by `WcooPlan.from_csr` and the UM band
+    builder (memory/host.py) so the mask semantics cannot diverge."""
+    arr = wcoo_arrays(A, min_tiles=min_tiles)
+    wb = arr["half_ids"][0::2]
+    nb = arr["n_row_blocks"]
+    visit0 = np.zeros(nb, dtype=np_val)
+    visit1 = np.zeros(nb, dtype=np_val)
+    visit0[wb] = 1
+    visit1[np.minimum(wb + 1, nb - 1)] = 1
+    arr.update(wb=wb, visit0=visit0, visit1=visit1)
+    return arr
 
 
 def wcoo_tile_count(A: CsrMatrix) -> int:

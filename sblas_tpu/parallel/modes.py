@@ -50,7 +50,7 @@ from ..ops.spmv import segment_spmv
 from ..ops.wcoo import WcooPlan, spmm_wcoo
 from ..partition import CooSegments, RowBlocks
 from ..utils.errors import PartitionError, ShapeError, require
-from .mesh import DEFAULT_AXIS
+from .mesh import DEFAULT_AXIS, vma_check_ok
 
 
 def _pad_rows(x, m_pad):
@@ -66,7 +66,7 @@ def _pad_rows(x, m_pad):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _mode1_program(mesh: Mesh, axis: str):
+def _mode1_program(mesh: Mesh, axis: str, kind: str = "plain"):
     def fn(plan, B_blk, C_blk, alpha, beta):
         if isinstance(plan, BsrPlan):
             return spmm_bsr(plan, B_blk, alpha, beta, C_blk)
@@ -83,7 +83,8 @@ def _mode1_program(mesh: Mesh, axis: str):
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P(None, axis), P(None, axis), P(), P()),
-        out_specs=P(None, axis)))
+        out_specs=P(None, axis),
+        check_vma=vma_check_ok(kind)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -211,7 +212,8 @@ def spmm_mode1(plan, B, alpha, beta, C, mesh: Mesh,
     k_pad = -(-k // n) * n
     B_p = jnp.pad(B, ((0, 0), (0, k_pad - k)))
     C_p = jnp.pad(C, ((0, 0), (0, k_pad - k)))
-    out = _mode1_program(mesh, axis)(plan, B_p, C_p, alpha, beta)
+    kind = "wcoo" if isinstance(plan, WcooPlan) else "plain"
+    out = _mode1_program(mesh, axis, kind)(plan, B_p, C_p, alpha, beta)
     return out[:, :k]
 
 

@@ -88,9 +88,11 @@ def _local_csr(A: CsrMatrix, r0: int, r1: int, band_rows: int,
 
 def _union_offsets(subs):
     """Sorted union of occupied diagonals over shard submatrices (shards
-    must share one static offset list to stack)."""
-    offs = {int(o) for sub in subs
-            for o in np.unique(sub.to_coo().col_idx - sub.to_coo().row_idx)}
+    must share one static offset list to stack).  One dia_stats probe
+    per shard (the previous inline form converted each shard to COO
+    twice on the single-core host)."""
+    from ..ops.dia import dia_stats
+    offs = {int(o) for sub in subs for o in dia_stats(sub)["offsets"]}
     return sorted(offs or {0})
 
 

@@ -284,7 +284,7 @@ def xfoot_worst_local(A: CsrMatrix, n_shards: int,
     from .planned import shared_routed_sizes
     lay = _xfoot_analyze(A, n_shards, config.xfoot_hot_qmin)
     locals_ = [_remap_local(A, s, lay) for s in range(n_shards)]
-    sizes = [routed_shard_sizes(sub) for sub in locals_]
+    sizes = [routed_shard_sizes(sub, config) for sub in locals_]
     worst = int(np.argmax([sub.nnz for sub in locals_]))
     return locals_[worst], shared_routed_sizes(sizes)
 

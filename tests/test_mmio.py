@@ -168,3 +168,21 @@ def test_lexsort2_matches_lexsort():
     p = rng.randint(0, 2**40, size=1000).astype(np.int64)
     s = rng.randint(0, 2**40, size=1000).astype(np.int64)
     np.testing.assert_array_equal(lexsort2(s, p), np.lexsort((s, p)))
+
+
+def test_skew_symmetric_array_file(tmp_path):
+    """Skew-symmetric ARRAY files store only the strict lower triangle
+    (the diagonal is identically zero, MM spec); the reader previously
+    rejected every such file with a length mismatch."""
+    import numpy as np
+
+    from sblas_tpu.io.mmio import read_coo
+
+    p = tmp_path / "skew.mtx"
+    p.write_text("%%MatrixMarket matrix array real skew-symmetric\n"
+                 "3 3\n1.0\n2.0\n3.0\n")
+    _, r, c, v = read_coo(str(p))
+    d = np.zeros((3, 3))
+    d[r, c] = v
+    want = np.array([[0., -1., -2.], [1., 0., -3.], [2., 3., 0.]])
+    np.testing.assert_array_equal(d, want)

@@ -140,3 +140,26 @@ def test_segment_axis_follows_major_order(mesh):
                          segment_dim=d.segment_axis)
     spec = placed.sharding.spec
     assert spec[1] is not None or len(spec) > 1
+
+
+def test_spmm_mode1_wcoo_plan():
+    """Mode 1 with a Pallas-kind (wcoo) plan needs the same interpret-
+    mode check_vma opt-out as every other program (it crashed on the
+    CPU test mesh before)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sblas_tpu.containers import DenseMatrix
+    from sblas_tpu.io.generate import webbase_like
+    from sblas_tpu.ops.cpu_reference import spmm_cpu
+    from sblas_tpu.ops.wcoo import WcooPlan
+    from sblas_tpu.parallel import make_mesh, spmm_mode1, sync_to_host
+    from sblas_tpu.utils.verify import assert_equal
+
+    A = webbase_like(n=4096, avg_deg=3.0, seed=1, dtype=np.float64)
+    plan = WcooPlan.from_csr(A, dtype=jnp.float64)
+    B = DenseMatrix.random(A.shape[1], 8)
+    C = DenseMatrix.constant(A.shape[0], 8, 1.0)
+    out = sync_to_host(spmm_mode1(plan, jnp.asarray(B.values), 3.0, 4.0,
+                                  jnp.asarray(C.values), make_mesh(4)))
+    assert_equal(out, spmm_cpu(A, B, 3.0, 4.0, C))

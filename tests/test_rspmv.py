@@ -336,3 +336,23 @@ def test_shared_routed_sizes_appendix_alignment():
     assert kind == "routed"
     # both shards now share one static stack depth
     assert stacked.brow_ids.shape[0] == 2  # leading shard axis
+
+
+def test_spmv_default_y_routed():
+    """spmv(plan, x) with y=None must work for RoutedPlan (its values
+    live in gvals, not vals — the dispatcher crashed on plan.vals)."""
+    A = webbase_like(n=50000, avg_deg=3.0, seed=13)
+    cfg = SBlasConfig(routed_min_nnz=1000, routed_min_width=1000)
+    plan = make_plan(A, op="spmv", config=cfg, dtype=jnp.float64)
+    assert isinstance(plan, RoutedPlan)
+    x = DenseVector.random(A.width)
+    got = spmv(plan, jnp.asarray(x.values))
+    want = spmv_cpu(A, x, 1.0, 0.0,
+                    DenseVector.constant(A.height, 0.0))
+    assert_equal(np.asarray(got), want)
+    # spmm on a RoutedPlan keeps the FRIENDLY error, reached before any
+    # dtype probe
+    import pytest as _pytest
+    from sblas_tpu.ops import spmm as _spmm
+    with _pytest.raises(TypeError):
+        _spmm(plan, jnp.ones((A.width, 4)))
