@@ -23,8 +23,12 @@ import jax.numpy as jnp
 
 from .plans import CooPlan, EllPlan
 
-# Cap on the materialized gather intermediate, in elements (~256 MB of f32).
-_MAX_GATHER_ELEMS = 64 * 1024 * 1024
+# Cap on the materialized gather intermediate, in elements (~1 GB of
+# f32 — comfortably inside a 16 GB HBM chip).  Kept high on purpose: the
+# XLA row gather is charged per ROW (width-independent transactions), so
+# every K-chunk multiplies the gather's row cost by the chunk count —
+# chunking is a memory safety valve, not a perf knob.
+_MAX_GATHER_ELEMS = 256 * 1024 * 1024
 
 
 def _match_vma(z, *exemplars):
