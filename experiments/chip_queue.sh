@@ -31,8 +31,8 @@ print(check_equal(np.asarray(out), spmv_cpu(A, x, 3.0, 4.0, y)),
 # 2. headline bench (BENCH_r04 preview; the driver reruns it at round end)
 step bench 3000 python bench.py
 
-# 3. UM stream-chunk sweep (sets the measured SBLAS_STREAM_CHUNK default)
-step stream_chunk 3000 python experiments/stream_chunk_sweep.py
+# Ordered by VERDICT priority so a SHORT recovery window captures
+# the most important measurements first.
 
 # 4. per-stage decomposition of the strong-scaling fixed cost
 step shard_decompose 3000 python experiments/shard_decompose.py 16 4
@@ -43,22 +43,6 @@ step wcoo_gather 3000 python experiments/wcoo_gather_probe.py
 # 5b. bf16 route transport: Mosaic compile check + route-pass timing on
 # the cached webbase plan (execution-only knob; no plan rebuild)
 step bf16_transport 3000 python experiments/bf16_transport_probe.py
-
-# 5c. 4M cached-plan scale stress (r3 outage queue: re-run + chip-side
-# cached reload time; oracle-gated on a row slice)
-step stress4m 3000 python experiments/stress4m.py
-
-# 6. file-scale CLI acceptance (Load / plan cold / plan cached / run)
-if [ -f /tmp/mtx_acceptance/webbase-1M-like.mtx ]; then
-  step cli_cold 3000 python -m sblas_tpu.cli.spmv_test \
-    /tmp/mtx_acceptance/webbase-1M-like.mtx 1.0 1.0 1 --mode single \
-    --plan-cache /tmp/mtx_acceptance/webbase_plan.npz
-  step cli_cached 1200 python -m sblas_tpu.cli.spmv_test \
-    /tmp/mtx_acceptance/webbase-1M-like.mtx 1.0 1.0 1 --mode single \
-    --plan-cache /tmp/mtx_acceptance/webbase_plan.npz
-else
-  echo "(cli step skipped: run matrices/gen_matrices.py /tmp/mtx_acceptance first)" | tee -a "$LOG"
-fi
 
 # 7. compiled wcoo-spmm shard_map execution with check_vma=True — closes
 # the vma verdict item on real hardware (single-process TPU run; tiny)
@@ -84,6 +68,25 @@ out = prog(shards, B)
 print('vma_check_ok(wcoo) =', vma_check_ok('wcoo'),
       'compiled+ran, out', out.shape, float(out.sum()))
 "
+
+# 6. file-scale CLI acceptance (Load / plan cold / plan cached / run)
+if [ -f /tmp/mtx_acceptance/webbase-1M-like.mtx ]; then
+  step cli_cold 3000 python -m sblas_tpu.cli.spmv_test \
+    /tmp/mtx_acceptance/webbase-1M-like.mtx 1.0 1.0 1 --mode single \
+    --plan-cache /tmp/mtx_acceptance/webbase_plan.npz
+  step cli_cached 1200 python -m sblas_tpu.cli.spmv_test \
+    /tmp/mtx_acceptance/webbase-1M-like.mtx 1.0 1.0 1 --mode single \
+    --plan-cache /tmp/mtx_acceptance/webbase_plan.npz
+else
+  echo "(cli step skipped: run matrices/gen_matrices.py /tmp/mtx_acceptance first)" | tee -a "$LOG"
+fi
+
+# 3. UM stream-chunk sweep (sets the measured SBLAS_STREAM_CHUNK default)
+step stream_chunk 3000 python experiments/stream_chunk_sweep.py
+
+# 5c. 4M cached-plan scale stress (r3 outage queue: re-run + chip-side
+# cached reload time; oracle-gated on a row slice)
+step stress4m 3000 python experiments/stress4m.py
 
 # 8. solver layer on the chip: the fused while_loop solve vs the
 # host-stepped loop (the attachment serializes deep ASYNC chains badly,
