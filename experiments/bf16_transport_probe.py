@@ -16,7 +16,6 @@ Run on the real chip, one process, no env overrides:
     python experiments/bf16_transport_probe.py
 """
 
-import dataclasses
 import os
 import sys
 
@@ -59,7 +58,7 @@ def main() -> int:
 
     results = {}
     for transport, bar in (("f32", 1e-3), ("bf16", 2e-3)):
-        plan = dataclasses.replace(plan_f32, transport=transport)
+        plan = plan_f32.with_transport(transport)
         got = spmv_routed(plan, xd, 1.0, 1.0, yd)
         rep = check_equal(np.asarray(got), want, error_bar=bar,
                           relative=True)

@@ -104,11 +104,18 @@ def main(argv=None) -> int:
             got_tr = getattr(obj, "transport", getattr(
                 getattr(obj, "plan", None), "transport", None))
             if got_tr is not None and got_tr != cfg.routed_transport:
-                raise FormatError(
-                    f"plan cache {cache_path} was built with "
-                    f"routed_transport={got_tr!r}; this run requests "
-                    f"{cfg.routed_transport!r} — delete the file or "
-                    f"match --transport")
+                if hasattr(obj, "with_transport"):
+                    # transport is execution-side (tables re-widthed in
+                    # place) — re-aim the cached plan instead of erroring
+                    obj = obj.with_transport(cfg.routed_transport)
+                    print(f"plan cache: converted transport "
+                          f"{got_tr!r} -> {cfg.routed_transport!r}")
+                else:
+                    raise FormatError(
+                        f"plan cache {cache_path} was built with "
+                        f"routed_transport={got_tr!r}; this run requests "
+                        f"{cfg.routed_transport!r} — delete the file or "
+                        f"match --transport")
             print(f"plan cache: loaded {cache_path}")
             return obj
         obj = build()

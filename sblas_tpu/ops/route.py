@@ -386,7 +386,18 @@ def _interpret() -> bool:
 
 
 def _lane_shuffle_kernel(x_ref, i_ref, o_ref):
-    o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
+    x = x_ref[:]
+    if x.dtype.itemsize == 2:
+        # Mosaic's tpu.dynamic_gather requires index and data bitwidths
+        # to match ("Gather indices and result have different bitwidths",
+        # chip-probed r4) and supports neither bf16/i32 nor bf16/i16
+        # directly — but in-REGISTER upcasts compile and keep the HBM
+        # streams at 16 bits (values 2B + i16 tables 2B vs f32's 4B+4B:
+        # the passes are HBM-bound, so this is the whole bf16-transport
+        # win).  f32/f64 transports are untouched.
+        x = x.astype(jnp.float32)
+    o_ref[:] = jnp.take_along_axis(
+        x, i_ref[:].astype(jnp.int32), axis=1).astype(o_ref.dtype)
 
 
 def vma_union(*xs):

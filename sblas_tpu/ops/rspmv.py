@@ -384,6 +384,26 @@ class RoutedPlan:
     def stack_fill(self) -> float:
         return self.n_srows * LANES / max(self.nnz, 1)
 
+    def with_transport(self, transport: str) -> "RoutedPlan":
+        """Switch the route-transport precision of an existing plan
+        (execution-only knob, but the MAIN route's index tables change
+        width with it: int16 under bf16, int32 under f32 — Mosaic's
+        dynamic_gather bitwidth rule plus the index-stream HBM saving).
+        Used to re-aim cached plans without a rebuild."""
+        from ..utils.errors import PlanError, require
+        require(transport in ("f32", "bf16"), PlanError,
+                f"routed_transport must be 'f32' or 'bf16', "
+                f"got {transport!r}")
+        if transport == self.transport:
+            return self
+        require(transport == "f32"
+                or jnp.dtype(self.gvals.dtype) == jnp.float32, PlanError,
+                "bf16 route transport is only valid with float32 values")
+        idx = jnp.int16 if transport == "bf16" else jnp.int32
+        return dataclasses.replace(
+            self, transport=transport,
+            tables=tuple(t.astype(idx) for t in self.tables))
+
     @classmethod
     def from_csr(cls, A: CsrMatrix, dtype=jnp.float32,
                  config: SBlasConfig = DEFAULT, *, min_gtiles: int = 0,
@@ -516,9 +536,15 @@ class RoutedPlan:
         perm2 = np.concatenate([rank, np.arange(m, N2, dtype=np.int32)])
         prog2 = build_route(perm2)
 
-        def _tables(pr):
-            return tuple(jnp.asarray(op[1]) for op in pr.ops
-                         if op[0] in ("gather", "mix"))
+        def _tables(pr, idx_dtype=np.int32):
+            # bf16 transport stores the MAIN route's tables in int16:
+            # lane indices are < 128 and mix ranks < the layer arity
+            # (both exact in int16), and the halved index stream is half
+            # of the bf16 transport's HBM saving (see _lane_shuffle_kernel)
+            return tuple(jnp.asarray(op[1].astype(idx_dtype, copy=False))
+                         for op in pr.ops if op[0] in ("gather", "mix"))
+
+        main_idx = np.int16 if transport == "bf16" else np.int32
 
         return cls(
             gslab=jnp.asarray(gslab_arr),
@@ -526,7 +552,7 @@ class RoutedPlan:
             gvals=jnp.asarray(gvals.reshape(T_g, LANES, LANES), dtype),
             pvals=jnp.asarray(pvals_flat.reshape(R_p, LANES), dtype),
             prow_col=jnp.asarray(prow_col, jnp.int32),
-            tables=_tables(prog),
+            tables=_tables(prog, main_idx),
             brow_ids=jnp.asarray(brow_ids),
             merge_ids=jnp.asarray(merge_ids),
             unrank_tables=_tables(prog2),

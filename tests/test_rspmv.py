@@ -307,6 +307,53 @@ class TestBf16Transport:
                         0.0, jnp.asarray(y.values, jnp.float32))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_bf16_tables_are_int16(self):
+        """Mosaic's dynamic_gather requires index/data bitwidths to match
+        (chip-probed r4: bf16 data rejects i32 indices), so the bf16
+        plan must carry its MAIN route tables in int16 — which also
+        halves the index-stream HBM traffic.  The unrank/x routes stay
+        f32 and keep int32 tables."""
+        cfg = SBlasConfig(routed_transport="bf16")
+        plan = RoutedPlan.from_csr(self._mat(), dtype=jnp.float32,
+                                   config=cfg)
+        assert all(t.dtype == jnp.int16 for t in plan.tables)
+        assert all(t.dtype == jnp.int32 for t in plan.unrank_tables)
+        assert all(t.dtype == jnp.int32 for t in plan.xroute_tables)
+
+    def test_with_transport_switches_both_ways(self):
+        A = self._mat()
+        plan32 = RoutedPlan.from_csr(A, dtype=jnp.float32)
+        plan16 = plan32.with_transport("bf16")
+        assert plan16.transport == "bf16"
+        assert all(t.dtype == jnp.int16 for t in plan16.tables)
+        back = plan16.with_transport("f32")
+        assert back.transport == "f32"
+        assert all(t.dtype == jnp.int32 for t in back.tables)
+        assert plan32.with_transport("f32") is plan32
+        x = DenseVector.random(A.width)
+        y = DenseVector.constant(A.height, 1.0)
+        xv = jnp.asarray(x.values, jnp.float32)
+        yv = jnp.asarray(y.values, jnp.float32)
+        # table re-widthing is value-preserving: f32->bf16->f32 output
+        # matches the straight f32 plan exactly
+        np.testing.assert_array_equal(
+            np.asarray(spmv_routed(back, xv, 2.0, 3.0, yv)),
+            np.asarray(spmv_routed(plan32, xv, 2.0, 3.0, yv)))
+        # and the converted plan equals a natively-built bf16 plan
+        cfg = SBlasConfig(routed_transport="bf16")
+        native16 = RoutedPlan.from_csr(A, dtype=jnp.float32, config=cfg)
+        np.testing.assert_array_equal(
+            np.asarray(spmv_routed(plan16, xv, 2.0, 3.0, yv)),
+            np.asarray(spmv_routed(native16, xv, 2.0, 3.0, yv)))
+
+    def test_with_transport_rejects_f64(self):
+        from sblas_tpu.utils.errors import PlanError
+        plan = RoutedPlan.from_csr(self._mat(), dtype=jnp.float64)
+        with pytest.raises(PlanError):
+            plan.with_transport("bf16")
+        with pytest.raises(PlanError):
+            plan.with_transport("f16")
+
 
 def test_shared_routed_sizes_appendix_alignment():
     """A deep-primary/no-overflow shard stacked with a shallow/overflow
