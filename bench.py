@@ -48,9 +48,10 @@ def main() -> int:
     from sblas_tpu.ops.plans import CooPlan
     from sblas_tpu.ops.spmm import spmm_coo
     from sblas_tpu.ops.spmv import spmv_coo
-    from sblas_tpu.utils.benchtime import dispatch_overhead_ms, loop_time_ms
+    from sblas_tpu.utils.benchtime import dispatch_overhead_ms, \
+        loop_time2_ms, loop_time_ms
     from sblas_tpu.utils.timing import gflops, nnz_per_s, spmm_flops
-    from sblas_tpu.utils.verify import assert_equal
+    from sblas_tpu.utils.verify import assert_equal, check_equal
 
     dev = jax.devices()[0]
     print(f"# device: {dev} ({dev.platform}), dispatch overhead "
@@ -84,8 +85,12 @@ def main() -> int:
     def step_best(C, plan):
         return spmm(plan, B + 1e-6 * C[:1].mean(), 1.0, 1.0, C)
 
+    # sub-2ms kernels get the two-point estimator: at 32 iters the signal
+    # (~20-45 ms) is comparable to the ±5 ms dispatch-constant noise,
+    # which spread the r4 headline 0.61-0.71 ms across processes
     ms_base = loop_time_ms(step_base, C0, args=(base_plan,))
-    ms_best = loop_time_ms(step_best, C0, args=(best_plan,))  # unclamped
+    ms_best = loop_time2_ms(step_best, C0, iters=64,
+                            args=(best_plan,))  # unclamped
     flops = spmm_flops(A.nnz, K)
     g_best = gflops(flops, ms_best)
     print(f"# spmm k64 shell (n={A.shape[0]}, nnz={A.nnz}): "
@@ -141,11 +146,32 @@ def main() -> int:
         return spmv(plan, xw0 + 1e-6 * y, 1.0, 1.0, y)
 
     ms_wb = loop_time_ms(wstep_base, yw, args=(wbase,))
-    ms_wbest = loop_time_ms(wstep_best, yw, args=(wbest,))  # unclamped
+    ms_wbest = loop_time2_ms(wstep_best, yw, iters=128,
+                             args=(wbest,))  # unclamped
     print(f"# spmv webbase-1M-like (nnz={W.nnz}): baseline "
           f"{nnz_per_s(W.nnz, ms_wb):.3e} nnz/s ({ms_wb:.3f} ms), best"
           f"[{type(wbest).__name__}] {nnz_per_s(W.nnz, ms_wbest):.3e} nnz/s "
           f"({ms_wbest:.3f} ms)", file=sys.stderr)
+
+    # informational: opt-in bf16 route transport (documented 2e-3 relative
+    # bar — OUTSIDE the reference's 1e-3, so it never feeds the headline;
+    # oracle-gated at its own bar before timing)
+    if hasattr(wbest, "with_transport"):
+        wbest16 = wbest.with_transport("bf16")
+        rep16 = check_equal(
+            np.asarray(spmv(wbest16, xw0, 1.0, 1.0, yw)),
+            spmv_cpu(W, DenseVector(np.asarray(xw0)), 1.0, 1.0,
+                     DenseVector(np.asarray(yw))),
+            error_bar=2e-3, relative=True)
+        if rep16.ok:
+            ms_w16 = loop_time2_ms(wstep_best, yw, iters=128,
+                                   args=(wbest16,))
+            print(f"# spmv webbase bf16 transport (opt-in, 2e-3 bar): "
+                  f"{nnz_per_s(W.nnz, ms_w16):.3e} nnz/s ({ms_w16:.3f} ms, "
+                  f"{ms_wbest / ms_w16:.2f}x over f32)", file=sys.stderr)
+        else:
+            print(f"# spmv webbase bf16 transport FAILED its bar: {rep16}",
+                  file=sys.stderr)
 
     # ---- secondary: unstructured SpMM K=64 on the webbase proxy ----
     # (not a reference workload — s3dkq4m2 is the SpMM benchmark — but the
@@ -205,8 +231,12 @@ def main() -> int:
         def sstep(yc, p, xv):
             return spmv_routed(p, xv + 1e-6 * yc[0], 1.0, 1.0, yc)
 
-        shard_ms[nsh] = loop_time_ms(sstep, yl, iters=256,
-                                     args=(lplan, xl))
+        # two-point estimator: at 256 iters the 80 us shard loop is only
+        # ~20 ms of signal against ±5 ms dispatch-constant noise (r4
+        # decompose measured the same program 54.6 vs 80.5 us across two
+        # processes with the one-point form)
+        shard_ms[nsh] = loop_time2_ms(sstep, yl, iters=1024,
+                                      args=(lplan, xl))
         print(f"# xfoot[spmv] n={nsh}: shard compute "
               f"{shard_ms[nsh] * 1e3:.1f} us (measured), hot "
               f"{xf[nsh].hot_total}, packets {xf[nsh].packet_pad}/pair, "
@@ -267,9 +297,9 @@ def main() -> int:
     xl4 = jnp.asarray(
         DenseVector.random(lplan4.shape[1], dtype=np.float32).values)
     yl4 = jnp.zeros(lplan4.shape[0], jnp.float32)
-    ms4 = loop_time_ms(lambda yc, p, xv:
-                       spmv_routed(p, xv + 1e-6 * yc[0], 1.0, 1.0, yc),
-                       yl4, iters=64, args=(lplan4, xl4))
+    ms4 = loop_time2_ms(lambda yc, p, xv:
+                        spmv_routed(p, xv + 1e-6 * yc[0], 1.0, 1.0, yc),
+                        yl4, iters=128, args=(lplan4, xl4))
     from sblas_tpu.scaling import ICI_BW_DEFAULT
     comm4_ms = (st4.comm_bytes(4) / ICI_BW_DEFAULT * 1e3
                 + st4.extract_ns * 1e-6)

@@ -40,7 +40,8 @@ def main() -> int:
     from sblas_tpu.ops.rspmv import RoutedPlan, spmv_routed, \
         _gathered_contrib
     from sblas_tpu.parallel.xfoot import xfoot_worst_local
-    from sblas_tpu.utils.benchtime import dispatch_overhead_ms, loop_time_ms
+    from sblas_tpu.utils.benchtime import dispatch_overhead_ms, \
+        loop_time2_ms
 
     print(f"# device {jax.devices()[0]}, dispatch "
           f"{dispatch_overhead_ms():.2f} ms", file=sys.stderr)
@@ -69,7 +70,10 @@ def main() -> int:
         y = jnp.zeros(local.shape[0], jnp.float32)
 
         def t(name, step, carry, args):
-            ms = loop_time_ms(step, carry, iters=256, args=args)
+            # two-point estimator: the one-point form measured 19 us
+            # stages as 0.0 here (256 iters of signal vs the per-process
+            # dispatch-constant noise — see benchtime.loop_time2_ms)
+            ms = loop_time2_ms(step, carry, iters=2048, args=args)
             print(f"  {name:<10} {ms * 1e3:8.1f} us")
             return ms
 
@@ -104,18 +108,21 @@ def main() -> int:
 
         t("mainroute", mainroute, contrib, (plan,))
 
-        # bf16 TRANSPORT probe: the route passes are HBM-bound, so
-        # half-width values should ~halve them — the candidate for an
-        # opt-in reduced-precision routed mode (accuracy ~2^-9 rel per
-        # contribution is AT the 1e-3 bar, so opt-in only).  Interpret
-        # mode lies about Mosaic bf16 support: chip-only measurement.
-        contrib16 = jnp.zeros(plan.route_n, jnp.bfloat16)
+        # bf16 TRANSPORT: half-width values + int16 tables on the
+        # HBM-bound passes (with_transport re-aims the cached f32 plan)
+        plan16 = plan.with_transport("bf16")
+        contrib16 = jnp.zeros(plan16.route_n, jnp.bfloat16)
 
         def mainroute16(c, p):
             return apply_route(p.schedule, c, p.tables)
 
         try:
-            t("mainrt-bf16", mainroute16, contrib16, (plan,))
+            t("mainrt-bf16", mainroute16, contrib16, (plan16,))
+
+            def full16(yc, p, xv):
+                return spmv_routed(p, xv + 1e-6 * yc[0], 1.0, 1.0, yc)
+
+            t("full-bf16", full16, y, (plan16, x))
         except Exception as e:
             print(f"  mainrt-bf16 FAILED: {type(e).__name__}: "
                   f"{str(e)[:160]}")

@@ -59,9 +59,11 @@ def _stream_chunk() -> int:
     HBM window and a larger compiled program — G is clamped to the same
     cap that bounds the unrolled tuned programs (very large programs
     fail the remote-compile tunnel with HTTP 413).  Read per call so
-    tests and benchmarks can set it; the default stays 1 until the
-    dispatch saving is measured on hardware."""
-    g = max(int(os.environ.get("SBLAS_STREAM_CHUNK", "1")), 1)
+    tests and benchmarks can set it.  Default 8 from the r4 chip sweep
+    (webbase proxy, 12 bands, 16 MiB budget — wall clock per op call):
+    spmv_um 332/175/79/65 ms and spmm_um 410/177/96/91 ms at G=1/2/4/8;
+    past 8 the two remaining dispatches are already amortized."""
+    g = max(int(os.environ.get("SBLAS_STREAM_CHUNK", "8")), 1)
     return min(g, _UNROLL_MAX_BANDS)
 
 # Windowed-COO band fallback: if tile-splitting stores more than this many

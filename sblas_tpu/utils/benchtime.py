@@ -81,3 +81,27 @@ def loop_time_ms(step, init_carry, iters: int = 32, reps: int = 5,
     # shows up to ~40% run-to-run contention on the median
     total = float(np.min(ts))
     return max(total - overhead, 1e-6) / iters
+
+
+def loop_time2_ms(step, init_carry, iters: int = 2048, reps: int = 5,
+                  args: tuple = ()) -> float:
+    """Two-point variant of `loop_time_ms` for MICROSECOND-scale stages.
+
+    per-iter = (min t(2K) - min t(K)) / K: the dispatch constant cancels
+    per run instead of being subtracted as a separately-measured median,
+    which matters when K*stage is comparable to the ~±5 ms dispatch
+    noise — the r4 shard decompose measured 19 us stages as 0.0 with the
+    one-point estimator (256 x 19 us = 4.9 ms of signal against a 26-36 ms
+    constant that varies per process).  Default iters=2048 puts a 19 us
+    stage at ~39 ms of signal.  Costs ~3x the loop executions."""
+    _sync(_looped(init_carry, step, iters, *args))      # compile + warm K
+    _sync(_looped(init_carry, step, 2 * iters, *args))  # compile + warm 2K
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(_looped(init_carry, step, iters, *args))
+        t1s.append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter()
+        _sync(_looped(init_carry, step, 2 * iters, *args))
+        t2s.append((time.perf_counter() - t0) * 1e3)
+    return max(float(np.min(t2s)) - float(np.min(t1s)), 1e-6) / iters
