@@ -191,6 +191,65 @@ def adversarial_skew(m: int = 4096, n: int = 4096, heavy_rows: int = 4,
     return _dedupe(m, n, rows, cols, rng, vals)
 
 
+def road_network_like(n: int = 200_000, avg_deg: float = 2.6,
+                      scale: float = 40.0, seed: int = 211,
+                      dtype=np.float64) -> CsrMatrix:
+    """Road-network proxy: uniformly LOW degree (planar graphs average
+    2-4 edges per node) with short-range column offsets (nodes connect to
+    geometric neighbours) — the SuiteSparse USA-road class.  Unlike
+    `webbase_like` there are no hubs and no power-law tail; unlike
+    `fem_banded_like` the band is sparse, not dense — the structure class
+    where neither DIA (huge blowup) nor hub peeling applies."""
+    rng = np.random.RandomState(seed)
+    deg = rng.poisson(max(avg_deg - 1.0, 0.0), size=n) + 1
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    ne = len(rows)
+    off = rng.geometric(1.0 / scale, size=ne).astype(np.int64)
+    off *= rng.randint(0, 2, size=ne) * 2 - 1
+    cols = np.clip(rows + off, 0, n - 1)
+    vals = rng.random_sample(ne).astype(dtype)
+    return _dedupe(n, n, rows, cols, rng, vals)
+
+
+def block_dominant(n_brows: int = 64, block: int = 128,
+                   blocks_per_row: int = 4, inner_fill: float = 0.5,
+                   seed: int = 211, dtype=np.float64) -> CsrMatrix:
+    """Block-structured matrix: `blocks_per_row` random block-column tiles
+    per block-row, each `block x block` tile filled to `inner_fill`
+    density — the multiphysics / vector-unknown FEM class where the BELL
+    (MXU batched-matmul) layout is the right answer.  Defaults give an
+    8192x8192 matrix with ~2.1M nnz and a 128x128 BELL blowup of
+    ~1/inner_fill."""
+    rng = np.random.RandomState(seed)
+    n = n_brows * block
+    rows_l, cols_l = [], []
+    for br in range(n_brows):
+        bcs = rng.choice(n_brows, size=min(blocks_per_row, n_brows),
+                         replace=False)
+        for bc in bcs:
+            mask = rng.random_sample((block, block)) < inner_fill
+            r, c = np.nonzero(mask)
+            rows_l.append(br * block + r.astype(np.int64))
+            cols_l.append(bc * block + c.astype(np.int64))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    vals = rng.random_sample(len(rows)).astype(dtype)
+    return _dedupe(n, n, rows, cols, rng, vals)
+
+
+def scattered_sparse(n: int = 500_000, nnz: int = 5_000, seed: int = 211,
+                     dtype=np.float64) -> CsrMatrix:
+    """Near-empty matrix: `nnz` entries scattered uniformly over an n x n
+    space (most rows empty, huge row gaps) — the regime that stresses
+    tile-split overhead guards (`_WCOO_FILL_LIMIT`) and empty-row
+    handling."""
+    rng = np.random.RandomState(seed)
+    rows = rng.randint(0, n, size=nnz).astype(np.int64)
+    cols = rng.randint(0, n, size=nnz).astype(np.int64)
+    vals = rng.random_sample(nnz).astype(dtype)
+    return _dedupe(n, n, rows, cols, rng, vals)
+
+
 def structure_stats(A: CsrMatrix) -> dict:
     """Structural fingerprint of a sparse matrix, for proxy validation.
 

@@ -66,12 +66,17 @@ def vma_check_ok(kind: str) -> bool:
 def init_distributed(**kwargs) -> None:
     """Multi-host process bootstrap (`jax.distributed.initialize`).
 
-    No-op when already initialized or single-process.  The reference has no
-    multi-host story; this is the DCN entry point for pod-slice meshes."""
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process local run
+    Idempotent when the process group is already up; every OTHER failure
+    (unreachable coordinator, bad process_id, coordinator_address missing
+    outside a recognized cluster env) RE-RAISES.  Fail-fast is the one
+    reference virtue worth keeping (utility.h:27-83 exits on every
+    backend error): a swallowed bootstrap error would degrade a
+    multi-host launch to a silent single-host run whose results look
+    valid.  Exercised by tests/test_distributed.py with a real 2-process
+    gloo group over the CPU backend."""
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(**kwargs)
 
 
 def replicate(arr, mesh: Mesh) -> jax.Array:

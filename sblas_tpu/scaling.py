@@ -31,23 +31,65 @@ RANKING and the comm:compute ratio, not the third digit).
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from typing import Tuple
 
-ICI_BW_DEFAULT = float(os.environ.get("SBLAS_ICI_BW", 9e10))  # bytes/s
 
-# Measured v5e device-side data-movement constants (CLAUDE.md): XLA
-# elementwise gather ~2.3 ns/element; a routed permutation (ops/route.py)
-# ~0.09 ns/element of padded route space (4M elements in 0.35 ms).  The
-# xfoot planner and the scaling model price extraction with these.
-GATHER_NS = float(os.environ.get("SBLAS_GATHER_NS", 2.3))
-ROUTE_NS = float(os.environ.get("SBLAS_ROUTE_NS", 0.09))
+def _load_calib():
+    """Chip calibration record written by
+    experiments/calibrate_scaling.py (VERDICT r4 next#6) — per-size
+    measurements plus the median the model consumes."""
+    path = os.environ.get(
+        "SBLAS_CALIB_FILE",
+        os.path.join(os.path.dirname(__file__), "..", "scaling_calib.json"))
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
 
-# Cross-slice (DCN) bandwidth per chip, bytes/s.  A model parameter like
-# ICI_BW_DEFAULT: ~200 Gbps NIC per v5e host shared by 4 chips, derated —
-# override with SBLAS_DCN_BW.  Only the hierarchical two-tier mode uses
-# it (parallel/hier.py).
-DCN_BW_DEFAULT = float(os.environ.get("SBLAS_DCN_BW", 5e9))
+
+_CALIB = _load_calib()
+
+
+def _const(env: str, calib_key, default: float):
+    """(value, provenance) with env > calibration file > model default."""
+    if env in os.environ:
+        return float(os.environ[env]), f"env {env}"
+    if _CALIB and calib_key and calib_key in _CALIB:
+        meta = _CALIB.get("meta", {})
+        return float(_CALIB[calib_key]), (
+            f"measured {meta.get('date', '?')} on "
+            f"{meta.get('platform', '?')}")
+    return default, "model default"
+
+
+# ICI/DCN bandwidths are MODEL PARAMETERS (no single-chip measurement can
+# produce them): ICI one v5e ring direction ~100 GB/s derated 10%; DCN
+# ~200 Gbps NIC per v5e host shared by 4 chips, derated.  The model's
+# value is the mode RANKING and the comm:compute ratio, not the third
+# digit.  Override with SBLAS_ICI_BW / SBLAS_DCN_BW.
+ICI_BW_DEFAULT, ICI_BW_SRC = _const("SBLAS_ICI_BW", None, 9e10)  # bytes/s
+DCN_BW_DEFAULT, DCN_BW_SRC = _const("SBLAS_DCN_BW", None, 5e9)
+
+# Device-side data-movement constants: XLA elementwise gather ns/element
+# and routed-permutation (ops/route.py) ns/element of padded route space.
+# The xfoot planner and the scaling model price extraction with these;
+# chip-calibrated at three sizes each when scaling_calib.json is present
+# (model defaults are the r2/r3 single-point measurements from CLAUDE.md).
+GATHER_NS, GATHER_NS_SRC = _const("SBLAS_GATHER_NS", "gather_ns_median",
+                                  2.3)
+ROUTE_NS, ROUTE_NS_SRC = _const("SBLAS_ROUTE_NS", "route_ns_median", 0.09)
+
+
+def param_provenance() -> str:
+    """One line a scorecard reader needs to tell measured anchors from
+    model assumptions without opening the source (VERDICT r4 weak#2)."""
+    return (f"ici_bw={ICI_BW_DEFAULT / 1e9:.0f} GB/s ({ICI_BW_SRC}), "
+            f"dcn_bw={DCN_BW_DEFAULT / 1e9:.0f} GB/s ({DCN_BW_SRC}), "
+            f"gather_ns={GATHER_NS:.2f} ({GATHER_NS_SRC}), "
+            f"route_ns={ROUTE_NS:.3f} ({ROUTE_NS_SRC})")
 
 
 def collective_bytes(mode: str, result_bytes: int, n: int,
@@ -227,6 +269,7 @@ def scorecard_lines(rows, target: float = 0.8):
               + ["weak".ljust(12), "verdict"])
     lines = [f"# ===== BASELINE scorecard (target >={target * 100:.0f}% "
              f"of linear, 1 chip -> v5e-16) =====",
+             f"# params: {param_provenance()}",
              "".join(header)]
     for workload, table, weak, note in rows:
         bests = {n: best_mode(projs) for n, projs in table.items()}

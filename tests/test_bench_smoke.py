@@ -58,6 +58,13 @@ def test_bench_main_cold_and_warm(tiny_bench, capsys):
     line, err = _run(tiny_bench, capsys)
     assert line["metric"] == "ref_workloads_geomean_speedup"
     assert line["unit"] == "x" and line["value"] > 0
+    # repeatability contract (VERDICT r4 next#7): three independent
+    # repeats per headline, median canonical, spread recorded
+    assert set(line["repeats"]) == {"spmm_shell", "spmv_webbase",
+                                    "spmm_webbase_wcoo"}
+    for r in line["repeats"].values():
+        assert r["min_ms"] > 0 and r["median_ms"] >= r["min_ms"]
+        assert r["spread"] >= 0
     # scorecard block present and well-formed
     assert "BASELINE scorecard" in err
     assert "spmm shell K=64" in err and "spmv webbase-1M" in err

@@ -52,6 +52,38 @@ def test_spmv_cli_transport_flag(mtx_path, capsys):
     assert "Validation = True" in out
 
 
+def test_spmv_cli_progressive(mtx_path, capsys):
+    """--progressive (VERDICT r4 next#2): a validated first result is
+    served from the cheap plan BEFORE the final plan build, and the
+    steady-state output is identical to the plain run."""
+    from sblas_tpu.cli.spmv_test import main
+    rc = main([mtx_path, "3.0", "4.0", "1", "f64", "--mode", "single",
+               "--progressive"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    first = [ln for ln in out.splitlines() if ln.startswith("First result")]
+    assert len(first) == 1 and "Validation = True" in first[0], out
+    # first-result line precedes the steady-state validation verdict
+    assert out.index("First result") < out.rindex("Validation = True")
+    # steady state identical to the plain run (same nnz/s plan path)
+    rc2 = main([mtx_path, "3.0", "4.0", "1", "f64", "--mode", "single"])
+    out2 = capsys.readouterr().out
+    assert rc2 == 0
+    assert "First result" not in out2
+    assert (out.split("max_abs")[-1].split()[0]
+            == out2.split("max_abs")[-1].split()[0])
+
+
+def test_spmv_cli_progressive_non_single_ignored(mtx_path, capsys):
+    from sblas_tpu.cli.spmv_test import main
+    rc = main([mtx_path, "3.0", "4.0", "4", "f64", "--mode", "dist",
+               "--progressive"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "--progressive applies to --mode single only" in out
+    assert "First result" not in out
+
+
 def test_spmm_um_cli(mtx_path, capsys):
     from sblas_tpu.cli.spmm_test_um import main
     rc = main(["2", mtx_path, "8", "3.0", "4.0", "1", "1", "f64"])

@@ -115,7 +115,14 @@ def test_scorecard_format():
     ])
     assert all(ln.startswith("#") for ln in lines)
     assert "BASELINE scorecard" in lines[0] and "80%" in lines[0]
-    header = lines[1]
+    # parameter provenance line (VERDICT r4 weak#2/next#6): a reader must
+    # be able to tell measured constants from model defaults inline
+    params = lines[1]
+    assert params.startswith("# params:")
+    for tok in ("ici_bw=", "dcn_bw=", "gather_ns=", "route_ns="):
+        assert tok in params, params
+    assert "model default" in params or "measured" in params
+    header = lines[2]
     assert "strong n=4" in header and "strong n=16" in header
     assert "weak" in header and "verdict" in header
     row_good = next(ln for ln in lines if "spmm shell K=64" in ln)
