@@ -38,8 +38,9 @@ LANES = 128
 SLAB = LANES * LANES
 
 
-def _fused_kernel(tile_ref, idx_ref, vals_ref, i1_ref, o_ref):
+def _fused_kernel(gslab_ref, tile_ref, idx_ref, vals_ref, i1_ref, o_ref):
     import jax.numpy as jnp
+    del gslab_ref  # consumed by the slab index map (scalar prefetch)
     picked = jnp.take_along_axis(tile_ref[0], idx_ref[0], axis=1)
     contrib = vals_ref[0] * picked
     o_ref[0] = jnp.take_along_axis(contrib, i1_ref[0],
@@ -90,14 +91,29 @@ def spmv_routed_fused1(plan, x, alpha, beta, y):
     )(plan.gslab, x_slabs, plan.gidx,
       plan.gvals.astype(x_slabs.dtype), i1_tiles)
     parts = [tiles1.reshape(-1)]
+    n_pad_rows = 0
     if plan.n_prows:
         from sblas_tpu.ops.route import lane_shuffle
         xp = jnp.take(x, plan.prow_col, axis=0)
         pc = plan.pvals.astype(x.dtype) * xp[:, None]
-        parts.append(lane_shuffle(
-            pc, idx1[R_t:R_t + plan.n_prows]).reshape(-1))
+        # Mosaic requires sublane-divisible blocks: pad the peel rows to
+        # a multiple of 8 (pad rows are zeros; their idx rows — real
+        # route-pad-region tables or identity — permute zeros to zeros)
+        R8 = -(-plan.n_prows // 8) * 8
+        pc = jnp.pad(pc, ((0, R8 - plan.n_prows), (0, 0)))
+        avail = idx1.shape[0] - R_t
+        take = min(R8, avail)
+        idxp = idx1[R_t:R_t + take]
+        if take < R8:
+            idxp = jnp.concatenate([
+                idxp, jnp.broadcast_to(
+                    jnp.arange(LANES, dtype=idx1.dtype),
+                    (R8 - take, LANES))])
+        parts.append(lane_shuffle(pc, idxp).reshape(-1))
+        n_pad_rows = R8 - plan.n_prows
     contrib1 = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     # pad rows: zero rows permute to zero rows — pass 1 is a no-op there
+    del n_pad_rows  # (absorbed into the route_n zero pad below)
     contrib1 = jnp.pad(contrib1, (0, plan.route_n - contrib1.shape[0]))
     routed = apply_route(plan.schedule[1:], contrib1, plan.tables[1:])
     stack = routed[: plan.n_srows * LANES].reshape(
@@ -126,7 +142,9 @@ def main() -> int:
     from sblas_tpu.utils.benchtime import loop_time2_ms
     from sblas_tpu.utils.verify import check_equal
 
-    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    args = [a for a in sys.argv[1:] if a != "--check-only"]
+    check_only = "--check-only" in sys.argv
+    n_shards = int(args[0]) if args else 16
     W = webbase_like(n=1_000_000, dtype=np.float32)
     local, (tg, srs, prs, sks) = xfoot_worst_local(W, n_shards)
     plan = cached_plan(
@@ -155,6 +173,8 @@ def main() -> int:
     if not rep.ok:
         print("# ABORT: fused pipeline differs", file=sys.stderr)
         return 1
+    if check_only:
+        return 0
 
     def stock(yc, p, xv):
         return spmv_routed(p, xv + 1e-6 * yc[0], 1.0, 1.0, yc)
