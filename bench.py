@@ -256,9 +256,10 @@ def main() -> int:
         # two-point estimator: at 256 iters the 80 us shard loop is only
         # ~20 ms of signal against ±5 ms dispatch-constant noise (r4
         # decompose measured the same program 54.6 vs 80.5 us across two
-        # processes with the one-point form)
-        shard_ms[nsh] = loop_time2_ms(sstep, yl, iters=1024,
-                                      args=(lplan, xl))
+        # processes with the one-point form); three repeats because these
+        # cells carry meets/MISSES verdicts
+        shard_ms[nsh] = timed3(f"xfoot_shard{nsh}", loop_time2_ms, sstep,
+                               yl, iters=1024, args=(lplan, xl))
         print(f"# xfoot[spmv] n={nsh}: shard compute "
               f"{shard_ms[nsh] * 1e3:.1f} us (measured), hot "
               f"{xf[nsh].hot_total}, packets {xf[nsh].packet_pad}/pair, "
@@ -319,9 +320,15 @@ def main() -> int:
     xl4 = jnp.asarray(
         DenseVector.random(lplan4.shape[1], dtype=np.float32).values)
     yl4 = jnp.zeros(lplan4.shape[0], jnp.float32)
-    ms4 = loop_time2_ms(lambda yc, p, xv:
-                        spmv_routed(p, xv + 1e-6 * yc[0], 1.0, 1.0, yc),
-                        yl4, iters=128, args=(lplan4, xl4))
+
+    def w4step(yc, p, xv):
+        return spmv_routed(p, xv + 1e-6 * yc[0], 1.0, 1.0, yc)
+
+    # repeats contract for the weak cell too: a single two-point capture
+    # put the 80% verdict at the mercy of ±4% chip noise (78% vs 81%
+    # observed across same-code captures)
+    ms4 = timed3("spmv_weak_shard4", loop_time2_ms, w4step, yl4,
+                 iters=128, args=(lplan4, xl4))
     from sblas_tpu.scaling import ICI_BW_DEFAULT
     comm4_ms = (st4.comm_bytes(4) / ICI_BW_DEFAULT * 1e3
                 + st4.extract_ns * 1e-6)

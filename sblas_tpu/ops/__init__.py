@@ -28,6 +28,33 @@ from ..config import DEFAULT
 # (only near-empty matrices with huge row gaps get close).
 _WCOO_FILL_LIMIT = 8.0
 
+# SpMM-side BELL acceptance (PLAN_MATRIX.md, chip-measured r5): dense
+# 128x128 blocks run on the MXU at multi-TF/s while every gather layout
+# is bound by ~6-7 ns/row B fetches, so BELL wins SpMM even at large
+# fill blowup — road-class (blowup 347, 684 MB padded) measured 2.46 ms
+# vs wcoo 3.62 / ell 10.1.  The caps exclude the measured losers:
+# near-empty (blowup 89617: HBM-bound on padding, 9.5 ms vs coo 1.6)
+# and the 10-30 GB uniform/skew/web paddings.  512 sits between the
+# measured win at 347 and the measured loss at 9437.
+_BSR_SPMM_BLOWUP_LIMIT = 512.0
+_BSR_SPMM_BYTES_CAP = 1 << 30
+
+# SpMM-side BELL-vs-DIA crossover when BOTH are profitable (same shell
+# structure, bsr blowup 24, measured at two sizes): BELL is HBM-bound on
+# padded bytes (0.416 ms @ 148 MB, 1.716 ms @ 465 MB ~ 300-360 GB/s),
+# DIA SpMM is VPU-bound on ndiags*m*K FMAs (0.501 / 1.462 ms — the
+# pass model predicts 0.50 / 1.50 at 0.35 TF/s) — so big padded BELL
+# loses to lean DIA while small padded BELL wins.  256 MB sits between
+# the measured win at 148 MB and the measured loss at 465 MB.
+_BSR_DIA_SPMM_BYTES = 256 << 20
+
+# SpMV-side BELL-vs-DIA crossover (PLAN_MATRIX.md): DIA SpMV is
+# pass-count-bound (one sliced FMA per diagonal), BELL SpMV is HBM-bound
+# on padded bytes — at low blowup BELL wins (dense band-73: bsr 0.067 ms
+# vs dia 0.109), at high blowup DIA wins (shell, bsr blowup 24: dia
+# 0.139 vs bsr 0.219).  8 sits between the measured 5.3 and 24.1.
+_BSR_SPMV_BLOWUP = 8.0
+
 # B width at which the Pallas scalar-prefetch BELL kernel overtakes the XLA
 # formulation: the XLA path materializes a gathered B copy per slot
 # (traffic grows with K), the Pallas path streams (C, K) tiles straight to
@@ -39,34 +66,59 @@ _BSR_PALLAS_MIN_K = 256
 def make_plan(A, dtype=None, config=DEFAULT, force=None, op=None):
     """Choose the best single-chip layout for CSR matrix `A`.
 
-    Heuristic order for SpMV planning: DIA (shift-and-FMA) when banded,
-    routed (three-stage gather/route/stack engine) for large unstructured
-    matrices, then the mixed-use ladder.  For SpMM / mixed use: BSR (MXU
-    blocks) when block-friendly, DIA when the diagonal count is small
-    (measured v5e on the s3dkq4m2 shell proxy, K=64: DIA 2.0 ms vs ELL
-    14.9 ms vs tier-0 57 ms — B re-reads per diagonal beat per-slot row
-    gathers whenever blowup is low), ELL when rows are balanced,
-    windowed-COO otherwise, plain COO as the universal fallback.  `force`
-    in {"dia", "routed", "bsr", "ell", "wcoo", "coo"} overrides; `op` in
-    {None, "spmv", "spmm"} biases the choice toward that kernel (routed is
-    SpMV-only and never auto-chosen for mixed use)."""
+    Heuristics chip-calibrated across ten structure classes x every
+    feasible layout (PLAN_MATRIX.md, experiments/plan_matrix.py — the
+    role cuSPARSE's format-agnostic dispatch plays in the reference,
+    spmm.h:146-149).  SpMV ladder: DIA (shift-and-FMA) when banded —
+    except low-blowup BELL, which beats DIA's per-diagonal passes; the
+    routed gather/route/stack engine for large unstructured matrices;
+    then BELL / ELL / windowed-COO / COO.  SpMM / mixed ladder: BELL
+    (MXU batched matmuls) whenever its padding fits the measured caps —
+    dense blocks on the MXU outrun every gather layout even at blowup
+    ~350 — then DIA, ELL, windowed-COO, plain COO as the universal
+    fallback.  Tiny (one-block) matrices go dense outright.  `force` in
+    {"dia", "routed", "bsr", "ell", "wcoo", "coo"} overrides; `op` in
+    {None, "spmv", "spmm"} biases the choice toward that kernel (routed
+    is SpMV-only and never auto-chosen for mixed use)."""
     import jax.numpy as jnp
     dtype = dtype or jnp.float32
     kind = force
     if kind is None:
-        if op == "spmv" and DiaPlan.is_profitable(A, config):
-            kind = "dia"
-        elif (op == "spmv" and RoutedPlan.is_profitable(A, config)
-              and bell_stats(A, config.bsr_block)["blowup"]
-              > config.bsr_blowup_limit):
-            kind = "routed"
-        elif bell_stats(A, config.bsr_block)["blowup"] <= config.bsr_blowup_limit:
-            kind = "bsr"
-        elif DiaPlan.is_profitable(A, config):
-            kind = "dia"
-        elif EllPlan.is_profitable(A, config):
-            kind = "ell"
-        else:
+        m, n = A.shape
+        bst = bell_stats(A, config.bsr_block)
+        bsr_bytes = bst["blowup"] * max(A.nnz, 1) * jnp.dtype(dtype).itemsize
+        if m <= config.bsr_block[0] and n <= config.bsr_block[1]:
+            # tiny matrix (one MXU block / one lane tile): the dense
+            # forms win outright — blowup ratios are meaningless at
+            # kilobyte scale (PLAN_MATRIX.md small_sym row)
+            kind = "dia" if op == "spmv" else "bsr"
+        elif op == "spmv":
+            if DiaPlan.is_profitable(A, config):
+                # low-blowup BELL beats DIA's per-diagonal passes
+                # (chip-measured crossover, see _BSR_SPMV_BLOWUP)
+                kind = ("bsr" if bst["blowup"] <= _BSR_SPMV_BLOWUP
+                        else "dia")
+            elif (RoutedPlan.is_profitable(A, config)
+                  and bst["blowup"] > config.bsr_blowup_limit):
+                kind = "routed"
+            elif bst["blowup"] <= config.bsr_blowup_limit:
+                kind = "bsr"
+            elif EllPlan.is_profitable(A, config):
+                kind = "ell"
+        else:  # spmm / mixed use
+            if (bst["blowup"] <= _BSR_SPMM_BLOWUP_LIMIT
+                    and bsr_bytes <= _BSR_SPMM_BYTES_CAP):
+                # large padded BELL goes HBM-bound; a lean DIA form (when
+                # one exists) stays VPU-bound and overtakes it (see
+                # _BSR_DIA_SPMM_BYTES — chip-measured at two shell sizes)
+                kind = ("dia" if (bsr_bytes > _BSR_DIA_SPMM_BYTES
+                                  and DiaPlan.is_profitable(A, config))
+                        else "bsr")
+            elif DiaPlan.is_profitable(A, config):
+                kind = "dia"
+            elif EllPlan.is_profitable(A, config):
+                kind = "ell"
+        if kind is None:
             plan = WcooPlan.from_csr(A, dtype=dtype, config=config)
             if plan.fill_ratio <= _WCOO_FILL_LIMIT:
                 return plan

@@ -121,9 +121,14 @@ class EllPlan:
     @classmethod
     def is_profitable(cls, A: CsrMatrix,
                       config: SBlasConfig = DEFAULT) -> bool:
-        """ELL blows up when one row is much longer than the mean
-        (padding = m * max_row_nnz).  Guard with config.ell_blowup_limit."""
+        """ELL stores m * max_row_nnz padded slots; profitable only when
+        that stays within ell_blowup_limit of the true nnz.  This is the
+        exact padded-slot form — the earlier `max_deg <= limit *
+        max(mean, 1.0)` floored the mean at 1, which let a 500k-row /
+        5k-nnz near-empty matrix "qualify" and run 111x slower than COO
+        (PLAN_MATRIX.md r5): with mean << 1 the padding is m slots per
+        max-degree unit, not nnz-proportional."""
         if A.nnz == 0 or A.height == 0:
             return False
-        mean = A.nnz / A.height
-        return float(A.row_nnz.max()) <= config.ell_blowup_limit * max(mean, 1.0)
+        padded = float(A.row_nnz.max()) * A.height
+        return padded <= config.ell_blowup_limit * A.nnz

@@ -59,9 +59,11 @@ def test_bench_main_cold_and_warm(tiny_bench, capsys):
     assert line["metric"] == "ref_workloads_geomean_speedup"
     assert line["unit"] == "x" and line["value"] > 0
     # repeatability contract (VERDICT r4 next#7): three independent
-    # repeats per headline, median canonical, spread recorded
-    assert set(line["repeats"]) == {"spmm_shell", "spmv_webbase",
-                                    "spmm_webbase_wcoo"}
+    # repeats per headline AND per verdict-carrying scorecard cell,
+    # median canonical, spread recorded
+    assert {"spmm_shell", "spmv_webbase", "spmm_webbase_wcoo",
+            "xfoot_shard4", "xfoot_shard16",
+            "spmv_weak_shard4"} <= set(line["repeats"])
     for r in line["repeats"].values():
         assert r["min_ms"] > 0 and r["median_ms"] >= r["min_ms"]
         assert r["spread"] >= 0

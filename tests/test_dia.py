@@ -75,16 +75,25 @@ def test_rectangular_tall_and_wide():
 
 
 def test_make_plan_dia_policy(banded):
-    # SpMV planning: DIA first whenever profitable
-    assert isinstance(make_plan(banded, op="spmv"), DiaPlan)
-    # SpMM / mixed use: DIA when BELL is not profitable (measured v5e on
-    # the shell proxy: DIA 2.0 ms vs ELL 14.9 ms at K=64)
-    assert isinstance(make_plan(banded), DiaPlan)
-    assert isinstance(make_plan(banded, op="spmm"), DiaPlan)
-    # ... but the MXU BELL path still wins when the band is block-dense
     from sblas_tpu.ops.bsr import BsrPlan
+
+    # SpMV planning: DIA when banded — unless BELL's blowup is low
+    # enough that its HBM-bound matvec beats DIA's per-diagonal passes
+    # (r5 chip matrix: bsr 0.067 vs dia 0.109 ms at blowup 5.3;
+    # dia wins at blowup 24).  banded500 has blowup 26 -> DIA.
+    assert isinstance(make_plan(banded, op="spmv"), DiaPlan)
     wide = fem_banded_like(n=700, half_band=40, dtype=np.float64)
+    assert isinstance(make_plan(wide, op="spmv"), BsrPlan)  # blowup 5.4
+    # SpMM / mixed use: small-padding BELL wins outright on the MXU
+    # (PLAN_MATRIX.md: bsr 0.115 vs dia 0.399 ms on the dense band)
+    assert isinstance(make_plan(banded), BsrPlan)
+    assert isinstance(make_plan(banded, op="spmm"), BsrPlan)
     assert isinstance(make_plan(wide, op="spmm"), BsrPlan)
+    # (lean DIA overtakes BELL again once padded bytes grow HBM-bound —
+    # >256 MB, unreachable at unit-test scale; chip confirmation in
+    # ACCEPTANCE_R5: dia 1.462 vs bsr 1.716 ms at 465 MB, and
+    # tests/test_plan_choices.py pins the full-shell choice at
+    # experiment scale)
 
 
 def test_make_plan_rejects_unbanded():

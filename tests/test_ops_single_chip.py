@@ -110,8 +110,15 @@ def test_spmm_ell_k_chunking():
 
 
 def test_plan_heuristic():
-    from sblas_tpu.ops import WcooPlan
+    from sblas_tpu.ops import BsrPlan, WcooPlan
+
+    # tiny (one-MXU-block) matrices go dense outright (r5 chip matrix:
+    # blowup ratios are meaningless at kilobyte scale)
     assert isinstance(make_plan(uniform_random(64, 64, 4, seed=2),
+                                dtype=jnp.float64), BsrPlan)
+    # balanced low-degree rows at a scale where BELL padding blows up:
+    # the ELL branch
+    assert isinstance(make_plan(uniform_random(5000, 5000, 4, seed=2),
                                 dtype=jnp.float64), EllPlan)
     # heavy skew defeats ELL; windowed-COO absorbs it with ~1x fill
     assert isinstance(make_plan(adversarial_skew(), dtype=jnp.float64),

@@ -15,19 +15,22 @@ import pytest
 from experiments.plan_matrix import _kind_of, matrix_classes
 from sblas_tpu.ops import make_plan
 
+# Every expectation below is the MEASURED winner from the r5 chip matrix
+# (PLAN_MATRIX.md) — auto/best = 1.00x on all twenty cells.
 EXPECTED = {
     # class: (spmv kind, spmm kind)
-    "shell_fem": ("dia", "dia"),      # banded FEM: the r2+ bench headline
-    "web_power": ("routed", "wcoo"),  # power-law web: the other headline
-    "dense_band": ("dia", "bsr"),
+    "shell_fem": ("dia", "bsr"),      # spmm: bsr 0.416 vs dia 0.501 ms
+    "web_power": ("routed", "wcoo"),  # power-law web: the spmv headline
+    "dense_band": ("bsr", "bsr"),     # spmv: bsr 0.067 vs dia 0.109 ms
     "block_dom": ("bsr", "bsr"),
-    "road_local": ("routed", "ell"),
+    "road_local": ("routed", "bsr"),  # spmm: bsr 2.46 vs wcoo 3.62 at
+                                      # blowup 347 (MXU >> gathers)
     "uniform": ("routed", "ell"),
     "rect_wide": ("routed", "ell"),
-    "near_empty": ("ell", "ell"),     # suspect (m >> nnz): chip matrix
-                                      # will arbitrate ell vs coo here
+    "near_empty": ("coo", "coo"),     # ell mispick was 111x (fixed
+                                      # padded-slot profitability)
     "skew_rows": ("routed", "wcoo"),
-    "small_sym": ("ell", "ell"),
+    "small_sym": ("dia", "bsr"),      # tiny: dense forms outright
 }
 
 
@@ -42,3 +45,15 @@ def test_auto_choice(matrices, cname):
     want_v, want_m = EXPECTED[cname]
     assert _kind_of(make_plan(A, dtype=jnp.float32, op="spmv")) == want_v
     assert _kind_of(make_plan(A, dtype=jnp.float32, op="spmm")) == want_m
+
+
+def test_full_shell_spmm_prefers_dia():
+    """The BELL-vs-DIA SpMM crossover is SIZE-dependent (same structure,
+    blowup 24): BELL wins at 148 MB padded (0.416 vs 0.501 ms), DIA wins
+    at 465 MB (1.462 vs 1.716 ms, chip-verified) — guard the bench
+    headline's full-scale choice."""
+    import numpy as np
+
+    from sblas_tpu.io.generate import fem_shell_like
+    A = fem_shell_like(dtype=np.float32)
+    assert _kind_of(make_plan(A, dtype=jnp.float32, op="spmm")) == "dia"
