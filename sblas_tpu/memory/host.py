@@ -7,9 +7,10 @@ residency with `cudaMemAdvise`/`cudaMemPrefetchAsync`
 (applyGpuTuning/removeGpuTuning/applyCpuTuning, matrix_um.h:529-614), the
 TPU equivalent is explicit placement in the `pinned_host` memory space plus
 a **band-streaming executor**: the sparse operand is split into row bands
-sized to an HBM budget, each band is DMA'd host->HBM and multiplied while
-the next band's transfer is in flight (double buffering via JAX's async
-dispatch), and a sliding window bounds resident HBM.
+sized to an HBM budget, bands are DMA'd host->HBM *inside* the jitted chunk
+program (in-jit `device_put`) so XLA's latency-hiding scheduler overlaps
+each band's transfer with the previous band's compute, and a sliding
+window bounds resident HBM.
 
 API parity with the reference's UM surface:
 
@@ -145,7 +146,9 @@ class HostResidentPlan:
     def band_device(self, i: int):
         """Band i, on device: prefetched copy when tuned, fresh async DMA
         from pinned host otherwise (tuned mode keeps only the stacked
-        operand, so per-band requests re-DMA)."""
+        operand, so per-band requests re-DMA).  The untuned streaming
+        path no longer uses this — its transfers happen in-jit
+        (`_bands_to_hbm`); kept for ad-hoc single-band inspection."""
         if self._device_bands is not None and self._device_bands[i] is not None:
             return self._device_bands[i]
         return _to_device(self.bands[i])
@@ -329,21 +332,27 @@ def _band_matvec(kind: str, band_plan, x):
 
 
 def _stream(hplan: HostResidentPlan, chunk_op):
-    """Run `chunk_op` (a jitted function of a TUPLE of device bands) over
-    all bands with a bounded in-flight window.
+    """Run `chunk_op` (a jitted function of a TUPLE of PINNED-HOST bands)
+    over all bands with a bounded in-flight window.
 
-    Untuned mode pipelines host->HBM DMA of the next window with the
-    compute of the current one (JAX async dispatch does the overlap), in
-    groups of `_stream_chunk()` bands per dispatch.  The
-    block_until_ready pacing bounds how far the HOST runs ahead; on
-    attachments where it returns at enqueue time rather than completion
-    the device-side window can transiently exceed _INFLIGHT chunks, so
-    the HBM budget is a strong target, not a hard cap."""
+    The host->HBM transfers happen INSIDE the jitted chunk program
+    (in-jit `jax.device_put`, see `_bands_to_hbm`), so one dispatch per
+    `_stream_chunk()` bands covers transfers AND compute and XLA's
+    latency-hiding scheduler does the overlap.  Chip-measured
+    (experiments/um_onedispatch.py, 12 wcoo bands / 53.2 MiB): the
+    out-of-jit device_put form cost 68.2 ms/call (every band transfer a
+    separate dispatch); in-jit chunked is 12.6 ms/call = the 12.2 ms
+    device-compute floor from the r5 trace — a 5.4x, and within noise of
+    the single-dispatch all-bands form (13.0 ms) while keeping the
+    sliding-window HBM budget.  The block_until_ready pacing bounds how
+    far the HOST runs ahead; on attachments where it returns at enqueue
+    time the device-side window can transiently exceed _INFLIGHT chunks,
+    so the HBM budget is a strong target, not a hard cap."""
     G = _stream_chunk()
     parts = []
     pending = []
     for c0 in range(0, hplan.n_bands, G):
-        chunk = tuple(hplan.band_device(i)
+        chunk = tuple(hplan.bands[i]
                       for i in range(c0, min(c0 + G, hplan.n_bands)))
         parts.append(chunk_op(chunk))
         pending.append(parts[-1])
@@ -352,15 +361,27 @@ def _stream(hplan: HostResidentPlan, chunk_op):
     return parts
 
 
+def _bands_to_hbm(bands):
+    """In-jit host->HBM placement of a tuple of pinned-host band pytrees.
+
+    Traced inside the chunk programs: XLA sees the copy and the band
+    kernel in ONE program and schedules the next band's DMA under the
+    current band's compute (the untuned streaming pipeline)."""
+    dsh = _device_sharding()
+    return tuple(jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, dsh), b) for b in bands)
+
+
 @partial(jax.jit, static_argnames=("kind",))
 def _chunk_matmul(kind, bands, B):
-    return jnp.concatenate([_band_matmul(kind, b, B) for b in bands],
-                           axis=0)
+    return jnp.concatenate([_band_matmul(kind, b, B)
+                            for b in _bands_to_hbm(bands)], axis=0)
 
 
 @partial(jax.jit, static_argnames=("kind",))
 def _chunk_matvec(kind, bands, x):
-    return jnp.concatenate([_band_matvec(kind, b, x) for b in bands])
+    return jnp.concatenate([_band_matvec(kind, b, x)
+                            for b in _bands_to_hbm(bands)])
 
 
 def _stacked_bands(hplan: HostResidentPlan):

@@ -30,6 +30,11 @@ from sblas_tpu.containers import CsrMatrix  # noqa: E402
 REFERENCE_ASH85 = "/root/reference/ash85.mtx"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process bootstrap etc.)")
+
+
 @pytest.fixture(scope="session")
 def ash85() -> CsrMatrix:
     """The reference's checked-in fixture, read from the read-only mount;
